@@ -1,0 +1,174 @@
+"""Entity tables + graph materialization (FIXTURES.md F4).
+
+- ``entities_distinct`` / ``entity_type_histogram``: the reference's
+  entity set + type rollups (triplet_extractor.py:520-533, 649-670).
+- ``auto_create_entities``: the J1 left-join + anti-join-fill idiom — for
+  relations whose subject/object has no entity row, synthesize one with
+  type "other" and confidence 0.7
+  (/root/reference/src/knowledge_extractor/triplet_extractor.py:282-314).
+- ``nodes``/``edges``: canonicalized graph, exact-normalization blocking.
+  The canonical id is sha2(normalized_name, entity_type) — a PURE
+  EXPRESSION of the row, so edge endpoints need NO join at all: at 10^12
+  scale the only shuffles are the final groupBys. (The MinHash-LSH +
+  connected-components path, which does need iterative self-joins, lives
+  in operators/linking.py.)
+
+``canonical_form`` populates the reference's declared-but-never-written
+Entity.canonical_form field (knowledge_models.py:43-46).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import rules
+
+SEP = "\x1f"
+
+
+def normalize_name_col(c: Column) -> Column:
+    """JVM-side twin of rules.normalize_name (lower, strip legal
+    suffixes, punctuation -> space, collapse whitespace)."""
+    s = F.trim(F.lower(c))
+    s = F.regexp_replace(s, rules.LEGAL_SUFFIX_RE, "")
+    s = F.regexp_replace(s, rules.PUNCT_RE, " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def mentions(triples: DataFrame) -> DataFrame:
+    """All entity mentions = subjects ++ objects of the triple stream."""
+    subj = triples.select(
+        F.col("subj_name").alias("name"),
+        F.col("subj_type").alias("entity_type"),
+        "confidence",
+    )
+    obj = triples.select(
+        F.col("obj_name").alias("name"),
+        F.col("obj_type").alias("entity_type"),
+        "confidence",
+    )
+    return subj.unionByName(obj)
+
+
+def entities_distinct(triples: DataFrame) -> DataFrame:
+    """Unique (name, entity_type) pairs (triplet_extractor.py:520-523)."""
+    return mentions(triples).select("name", "entity_type").distinct()
+
+
+def entity_type_histogram(triples: DataFrame) -> DataFrame:
+    """Counts per entity_type, desc (triplet_extractor.py:528-533)."""
+    return (
+        mentions(triples)
+        .groupBy("entity_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "entity_type")
+    )
+
+
+def auto_create_entities(entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """J1: entities ∪ {names referenced by relations but missing}.
+
+    ``relations`` needs columns (subj_name, obj_name); missing names get
+    entity_type "other", confidence 0.7, auto_created=true
+    (triplet_extractor.py:282-314). Existing rows pass through.
+    """
+    referenced = (
+        relations.select(F.col("subj_name").alias("name"))
+        .unionByName(relations.select(F.col("obj_name").alias("name")))
+        .distinct()
+    )
+    missing = referenced.join(entities, "name", "left_anti").select(
+        "name",
+        F.lit("other").alias("entity_type"),
+        F.lit(0.7).alias("confidence"),
+        F.lit(True).alias("auto_created"),
+    )
+    return entities.select(
+        "name", "entity_type", "confidence", F.lit(False).alias("auto_created")
+    ).unionByName(missing)
+
+
+def entity_id_col(name: Column, entity_type: Column) -> Column:
+    """Deterministic canonical id: sha2 over (normalized name, type).
+    Content-derived ids are required for idempotent resume (SURVEY §1.2;
+    the reference's uuid4 at knowledge_models.py:20 is replaced)."""
+    return F.sha2(F.concat_ws(SEP, normalize_name_col(name), entity_type), 256)
+
+
+def nodes(triples: DataFrame) -> DataFrame:
+    """Canonicalized node table (schemas.NODES), exact blocking.
+
+    canonical_form = most frequent surface form (tie -> lexicographically
+    smallest), computed deterministically with min_by over (-count, name).
+    Two hash aggregations, no joins.
+    """
+    m = mentions(triples).select(
+        entity_id_col(F.col("name"), F.col("entity_type")).alias("entity_id"),
+        "name",
+        "entity_type",
+        "confidence",
+    )
+    per_surface = m.groupBy("entity_id", "entity_type", "name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("confidence").alias("max_conf"),
+    )
+    return per_surface.groupBy("entity_id", "entity_type").agg(
+        F.min_by("name", F.struct((-F.col("n")).alias("nn"), F.col("name"))).alias(
+            "canonical_form"
+        ),
+        F.array_sort(F.collect_set("name")).alias("aliases"),
+        F.sum("n").cast("long").alias("mention_count"),
+        F.max("max_conf").alias("confidence"),
+    ).select(
+        "entity_id",
+        F.col("canonical_form").alias("name"),
+        "canonical_form",
+        "entity_type",
+        "aliases",
+        "mention_count",
+        "confidence",
+    )
+
+
+def edges(triples: DataFrame) -> DataFrame:
+    """Canonicalized edge table (schemas.EDGES), exact blocking.
+
+    Endpoint ids are pure expressions — no join with the node table.
+    weight = co-occurrence count (Relation.weight semantics,
+    knowledge_models.py:77-81); confidence = max over merged triples.
+    """
+    e = triples.select(
+        entity_id_col(F.col("subj_name"), F.col("subj_type")).alias("subject_id"),
+        "predicate",
+        entity_id_col(F.col("obj_name"), F.col("obj_type")).alias("object_id"),
+        "confidence",
+    )
+    agg = e.groupBy("subject_id", "predicate", "object_id").agg(
+        F.count("*").cast("double").alias("weight"),
+        F.max("confidence").alias("confidence"),
+    )
+    return agg.select(
+        F.sha2(F.concat_ws(SEP, "subject_id", "predicate", "object_id"), 256).alias(
+            "edge_id"
+        ),
+        "subject_id",
+        "predicate",
+        "object_id",
+        "weight",
+        "confidence",
+    )
+
+
+def integrity_violations(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:
+    """Prompt-contract invariant (triplet_extractor.py:205-209): every
+    edge endpoint exists in nodes. Returns the violating endpoint ids
+    (must be empty)."""
+    ids = nodes_df.select("entity_id")
+    subj_missing = edges_df.select(F.col("subject_id").alias("entity_id")).join(
+        ids, "entity_id", "left_anti"
+    )
+    obj_missing = edges_df.select(F.col("object_id").alias("entity_id")).join(
+        ids, "entity_id", "left_anti"
+    )
+    return subj_missing.unionByName(obj_missing).distinct()

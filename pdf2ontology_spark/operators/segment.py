@@ -1,0 +1,87 @@
+"""Span segmentation: documents(doc_id, spans[]) -> one row per span.
+
+Replaces the reference's page fan-out + LLM layout analysis
+(/root/reference/src/core/document_analyzer.py:106-133,
+ /root/reference/src/core/region_detector.py:43-79) with a declarative
+explode: the interleaved input table already carries the region ``kind``
+and reading order (``offset``), per BASELINE.json input_hint.
+
+Scale notes: explode is narrow (no shuffle); reading order is the stored
+``offset`` so no window is needed on the hot path. The span-sequence
+invariant check (per-doc order preservation) is a cheap per-row array
+expression, not an aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, kind, text, media_ref, offset).
+
+    Reference analog: per-page loop at document_analyzer.py:135-167.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def span_sequence_check(docs: DataFrame) -> DataFrame:
+    """Per-doc span-sequence invariant (BASELINE.json input_hint):
+    offsets strictly increasing in stored order, i.e. sorting by offset
+    is a no-op. Returns (doc_id, n_spans, is_ordered).
+    """
+    offs = F.transform("spans", lambda s: s["offset"])
+    return docs.select(
+        "doc_id",
+        F.size("spans").cast("int").alias("n_spans"),
+        (
+            (offs == F.array_sort(offs))
+            & (F.size(F.array_distinct(offs)) == F.size(offs))
+        ).alias("is_ordered"),
+    )
+
+
+def reassemble_text(spans: DataFrame) -> DataFrame:
+    """Cross-span text stitch: the reference's OCR flatten+join
+    (/root/reference/src/loader.py:36-58) — text spans concatenated in
+    reading order per document. One shuffle on doc_id.
+    """
+    return (
+        spans.filter(F.col("kind").isin("text", "title", "header", "caption"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("document_text"),
+            F.count("*").cast("long").alias("n_text_spans"),
+        )
+    )
+
+
+def doc_stats(spans: DataFrame) -> DataFrame:
+    """Corpus/document statistics — reference's _compile_results
+    (/root/reference/src/core/document_analyzer.py:230-272): per-doc span
+    counts by kind plus totals. Partial/final hash aggregation does the
+    two-level compile for free (SURVEY.md A15).
+    """
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "table", 1).otherwise(0)).cast("long").alias("n_tables"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).cast("long").alias("n_media"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).cast("long").alias("n_text"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).cast("long").alias("total_chars"),
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default all cores); the
+same settings are what we would submit with ``spark-submit --py-files``
+on a real cluster — only ``master`` and the shuffle-partition count
+change with cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    v = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        return max(1, int(v))
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "pdf2ontology_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Settings rationale (scale-first, see SURVEY.md §4.2):
+    - AQE + skew-join on: media-heavy docs skew span-level stages and the
+      entity-linking self-joins (north rule calls this out explicitly).
+    - Arrow on: every pandas UDF stage is Arrow-batched, never per-row.
+    - UTC session TZ: parity with DuckDB oracle timestamps.
+    - shuffle partitions ~ cores locally; on a real cluster this is set
+      to ~2-3x total executor cores (AQE coalesces the rest).
+    """
+    cpus = _cpus()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

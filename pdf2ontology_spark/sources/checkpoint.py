@@ -1,0 +1,78 @@
+"""Checkpointed stage runner with per-partition lineage/metrics.
+
+The Spark-native analog of the reference's per-stage JSON archival
+(/root/reference/src/table_processors/table_content_extractor.py:401-434
+and triplet_extractor.py:386-415 — its "resume" substrate: triplets are
+re-derived from saved JSONs at triplet_extractor.py:542-676) and of
+StageResult (/root/reference/src/pydantic_models/pipeline_models.py:25-48).
+
+Semantics:
+- ``stage(...)`` computes a DataFrame, writes it to
+  ``<root>/<name>`` (parquet today, Iceberg on a real cluster), and
+  appends one _metrics row per output partition. If the checkpoint is
+  already complete (``_SUCCESS``), it is READ instead of recomputed —
+  that is the idempotent resume path: all ids are deterministic content
+  hashes, so resumed and fresh runs are byte-identical (tested in
+  tests/test_resume.py).
+- run_id is caller-supplied and deterministic (hash of config), never a
+  wall-clock value.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str, run_id: str = "run0"):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def stage(self, name: str, compute, resume: bool = True) -> DataFrame:
+        """Run (or resume) one stage. ``compute`` is a zero-arg callable
+        returning the stage DataFrame."""
+        path = self._path(name)
+        if resume and self.exists(name):
+            self._record(name, path, wall_ms=0, reused=True)
+            return self.spark.read.parquet(path)
+        t0 = time.monotonic()
+        compute().write.mode("overwrite").parquet(path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._record(name, path, wall_ms=wall_ms, reused=False)
+        return self.spark.read.parquet(path)
+
+    def _record(self, name: str, path: str, wall_ms: int, reused: bool) -> None:
+        """One _metrics row per output partition (FIXTURES.md F5).
+
+        Reads the just-written checkpoint and counts rows per partition —
+        a cheap scan of row-group metadata-sized data; on Iceberg this
+        becomes a snapshot-summary read.
+        """
+        out = self.spark.read.parquet(path)
+        per_part = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").cast("long").alias("rows_out")
+        )
+        metrics = per_part.select(
+            F.lit(name).alias("stage"),
+            F.lit(self.run_id).alias("run_id"),
+            F.col("partition_id").cast("int"),
+            "rows_out",
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(path).alias("output_checkpoint"),
+            F.lit(reused).alias("reused"),
+        )
+        metrics.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_metrics"))

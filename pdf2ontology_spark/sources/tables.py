@@ -1,0 +1,59 @@
+"""Table IO.
+
+The production design targets Iceberg (BASELINE.json north_rule); this
+sandbox has no Iceberg runtime jar, so every writer goes through
+``storage_format()`` — parquet today, ``iceberg`` transparently when
+``SPARK_GRAFT_TABLE_FORMAT=iceberg`` is set on a real cluster. Readers
+take plain paths so the same code reads either.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf2ontology_spark import synth
+
+DRIVER_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def storage_format() -> str:
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the interleaved-span documents table (input_hint shape),
+    generating the deterministic synthetic corpus on first use
+    (pdf2ontology_spark.synth; seed=42, cached parquet)."""
+    paths = synth.ensure_synth(sf_dir)
+    return spark.read.parquet(paths["documents_spans"])
+
+
+def load_golden_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = synth.ensure_synth(sf_dir)
+    return spark.read.parquet(paths["golden_triples"])
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    fmt = storage_format()
+    if fmt == "iceberg":
+        df.writeTo(path).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(path)

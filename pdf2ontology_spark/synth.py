@@ -1,0 +1,369 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md F1).
+
+Generates the BASELINE.json ``input_hint`` table —
+``(doc_id string, spans array<struct<kind,text,media_ref,offset>>)`` —
+plus analytically-computed golden triples (F3) and golden entity-linking
+clusters (F4), all with seed=42 and no wall-clock/uuid anywhere, so the
+goldens are byte-stable across runs and resume.
+
+The golden triples are derived by the *generator's own knowledge of what
+it emitted* (not by running the pipeline), giving a true oracle per
+FIXTURES.md F3. Table/text shapes mirror the reference corpus:
+- parameter→value 2-col tables, multi-col Min/Max/Unit tables, and
+  option-selection "X"-marker tables
+  (/root/reference/src/table_processors/table_content_extractor.py:98-175);
+- German/English technical vocabulary from the reference prompts
+  (/root/reference/src/knowledge_extractor/triplet_extractor.py:227-237).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf2ontology_spark import rules
+
+GEN_VERSION = 3  # bump to invalidate cached parquet
+DEFAULT_SEED = 42
+SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
+
+# docs per scale tag (FIXTURES.md F1 generator parameters)
+N_DOCS = {"sf0.001": 200, "sf0.01": 5000, "sf0.1": 50000}
+
+PARAMS = [
+    ("durchfluss", "l/min"),
+    ("druck", "bar"),
+    ("temperatur", "°C"),
+    ("dichte", "kg/m³"),
+    ("viskosität", "mPa·s"),
+    ("leistung", "kW"),
+    ("drehzahl", "1/min"),
+    ("spannung", "V"),
+    ("strom", "A"),
+    ("frequenz", "Hz"),
+    ("füllstand", "%"),
+    ("volumen", "m³"),
+    ("masse", "kg"),
+    ("geschwindigkeit", "m/s"),
+]
+
+# Alias clusters for entity linking (FIXTURES.md F4): every variant in a
+# cluster normalizes (rules.normalize_name) to the same key OR is linked
+# by the MinHash similarity stage; cluster membership is the golden.
+ORG_CLUSTERS = [
+    ["Samson AG", "SAMSON", "Samson A.G."],
+    ["Acme GmbH", "ACME", "Acme G.m.b.H."],
+    ["TechCorp Ltd", "TECHCORP", "TechCorp Limited"],
+    ["Nordwerk AG", "NORDWERK"],
+    ["Hydro Systems KG", "HYDRO SYSTEMS"],
+]
+
+PRODUCTS = [
+    "Ventil Typ 3241",
+    "Pumpe P-100",
+    "Regler R-20",
+    "Sensor S-5",
+    "Antrieb A-7",
+    "Filter F-2",
+    "Messumformer M-3",
+    "Kompressor K-9",
+]
+
+OPTION_SETS = [
+    ("Zustand Eintritt", ["flüssig", "dampfförmig", "gasförmig"]),
+    ("Freigabe", ["ja", "nein"]),
+    ("Gehäusewerkstoff", ["Edelstahl", "Stahl", "Kunststoff"]),
+]
+
+FILLERS = [
+    "Alle Angaben ohne Gewähr und dienen nur zur Information.",
+    "Technische Änderungen vorbehalten.",
+    "Siehe Abschnitt 4 für weitere Details.",
+    "Subject to change without notice.",
+]
+
+
+def table_id_for(doc_id: str, offset: int) -> str:
+    return hashlib.sha256(f"{doc_id}:{offset}".encode()).hexdigest()
+
+
+def _fmt_num(rng: random.Random) -> str:
+    if rng.random() < 0.5:
+        return str(rng.randint(1, 500))
+    return f"{rng.randint(1, 99)}.{rng.randint(0, 9)}"
+
+
+def _make_table(rng: random.Random, doc_id: str, offset: int):
+    """Build one table span. Returns (cells_json, golden_triples list)."""
+    tid = table_id_for(doc_id, offset)
+    cells: list[dict] = []
+    golden: list[dict] = []
+    shape = rng.random()
+
+    def add(r, c, t):
+        cells.append({"row": r, "col": c, "text": t})
+
+    def triple(subj, key, obj):
+        golden.append(
+            {
+                "doc_id": doc_id,
+                "table_id": tid,
+                "subj_name": subj,
+                "subj_type": "concept",
+                "predicate": "related_to",
+                "obj_name": obj,
+                "obj_type": rules.classify_value(obj),
+                "confidence": rules.FALLBACK_CONFIDENCE,
+                "source_sentence": f"{subj} has {key} of {obj}",
+                "extraction_method": rules.FALLBACK_METHOD,
+            }
+        )
+
+    if shape < 0.05:
+        # header-only table: no data rows -> no relationships, no triples
+        add(0, 0, "Parameter")
+        add(0, 1, "Wert")
+    elif shape < 0.45:
+        # 2-col parameter -> value table
+        add(0, 0, "Parameter")
+        add(0, 1, "Wert")
+        nrows = rng.randint(2, 6)
+        used = rng.sample(PARAMS, min(nrows, len(PARAMS)))
+        for i in range(nrows):
+            if rng.random() < 0.2:
+                # description row: Stellort -> location (prompt "Description tables")
+                h, v = "Stellort", rng.choice(rules.LOCATIONS)
+            elif i < len(used):
+                p, u = used[i]
+                h = p
+                if rng.random() < 0.12:
+                    v = ""  # empty cell -> no triple
+                elif rng.random() < 0.5:
+                    v = f"{rng.randint(1, 40)}-{rng.randint(41, 99)} {u}"
+                else:
+                    v = f"{_fmt_num(rng)} {u}"
+            else:
+                h, v = f"parameter_{i}", _fmt_num(rng)
+            add(i + 1, 0, h)
+            add(i + 1, 1, v)
+            if v:
+                triple(h, "value", v)
+    elif shape < 0.75:
+        # multi-col Min/Max/Einheit table
+        headers = ["Parameter", "Min", "Max", "Einheit"]
+        for c, h in enumerate(headers):
+            add(0, c, h)
+        nrows = rng.randint(2, 5)
+        used = rng.sample(PARAMS, min(nrows, len(PARAMS)))
+        for i in range(nrows):
+            p, u = used[i % len(used)]
+            lo, hi = str(rng.randint(1, 40)), str(rng.randint(41, 99))
+            vals = [lo, hi, u]
+            if rng.random() < 0.15:
+                vals[rng.randint(0, 2)] = ""  # empty cell
+            add(i + 1, 0, p)
+            for c, v in enumerate(vals, start=1):
+                add(i + 1, c, v)
+                if v:
+                    triple(p, headers[c], v)
+    else:
+        # option-selection table with "X" marker
+        label, options = OPTION_SETS[rng.randrange(len(OPTION_SETS))]
+        add(0, 0, "Parameter")
+        for c, o in enumerate(options, start=1):
+            add(0, c, o)
+        nrows = rng.randint(1, 3)
+        for i in range(nrows):
+            h = label if i == 0 else f"{label} {i + 1}"
+            add(i + 1, 0, h)
+            if rng.random() < 0.1:
+                # unmarked row: all option cells empty -> no triples
+                for c in range(1, len(options) + 1):
+                    add(i + 1, c, "")
+            else:
+                sel = rng.randrange(len(options))
+                for c in range(1, len(options) + 1):
+                    add(i + 1, c, rules.MARKERS[0] if c - 1 == sel else "")
+                notes = rules.OPTION_NOTES_PREFIX + ", ".join(options)
+                triple(h, "value", options[sel])
+                triple(h, "notes", notes)
+
+    return json.dumps(cells, ensure_ascii=False), golden
+
+
+def _make_text_span(rng: random.Random, doc_id: str, org: str):
+    """Build one text span (one sentence). Returns (text, golden list)."""
+    r = rng.random()
+
+    def t(subj, st, pred, obj, ot, sent):
+        return [
+            {
+                "doc_id": doc_id,
+                "table_id": None,
+                "subj_name": subj,
+                "subj_type": st,
+                "predicate": pred,
+                "obj_name": obj,
+                "obj_type": ot,
+                "confidence": rules.PATTERN_CONFIDENCE,
+                "source_sentence": sent,
+                "extraction_method": rules.PATTERN_METHOD,
+            }
+        ]
+
+    if r < 0.2:
+        p, loc = rng.choice(PRODUCTS), rng.choice(rules.LOCATIONS)
+        s = f"Die Anlage {p} befindet sich im {loc}."
+        return s, t(p, "product", "located_in", loc, "location", s)
+    if r < 0.35:
+        a, b = rng.sample(PRODUCTS, 2)
+        s = f"Das Modul {a} enthält {b}."
+        return s, t(a, "product", "contains", b, "product", s)
+    if r < 0.5:
+        a, b = rng.sample(PRODUCTS, 2)
+        s = f"{a} ist Teil von {b}."
+        return s, t(a, "product", "part_of", b, "product", s)
+    if r < 0.65:
+        p = rng.choice(PRODUCTS)
+        s = f"{org} liefert {p}."
+        return s, t(org, "organization", "produces", p, "product", s)
+    return rng.choice(FILLERS), []
+
+
+def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
+    """Returns (doc_rows, golden_triples, org_mentions) as Python lists."""
+    rng = random.Random(seed)
+    docs, goldens, orgs = [], [], []
+    for d in range(n_docs):
+        doc_id = f"doc_{d:08d}"
+        cluster_id = rng.randrange(len(ORG_CLUSTERS))
+        cluster = ORG_CLUSTERS[cluster_id]
+        org = cluster[rng.randrange(len(cluster))]
+        orgs.append({"doc_id": doc_id, "name": org, "cluster_id": cluster_id})
+
+        spans = []
+
+        def add_span(kind, text="", media_ref=""):
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": media_ref, "offset": len(spans)}
+            )
+
+        add_span("title", f"Datenblatt {org} Anlage {d % 97}")
+        heavy = d % 50 == 7  # ~2% media-heavy docs (north-rule skew)
+        n_tables = rng.randint(1, 3)
+        n_text = rng.randint(1, max(1, int(rng.lognormvariate(1.2, 0.6))) + 4)
+        n_media = rng.randint(30, 50) if heavy else rng.randint(0, 4)
+
+        body = (
+            ["table"] * n_tables
+            + ["text"] * n_text
+            + ["media"] * n_media
+            + (["header"] if rng.random() < 0.3 else [])
+            + (["caption"] if rng.random() < 0.2 else [])
+            + (["footer"] if rng.random() < 0.3 else [])
+        )
+        rng.shuffle(body)
+        for kind in body:
+            off = len(spans)
+            if kind == "table":
+                text, g = _make_table(rng, doc_id, off)
+                goldens.extend(g)
+                add_span("table", text)
+            elif kind == "text":
+                text, g = _make_text_span(rng, doc_id, org)
+                goldens.extend(g)
+                add_span("text", text)
+            elif kind == "media":
+                add_span("media", "", f"media://{doc_id}/{off}.png")
+            elif kind == "header":
+                add_span("header", f"Seite {1 + d % 9} — {org}")
+            elif kind == "caption":
+                add_span("caption", f"Abbildung {1 + d % 5}: Schema")
+            else:
+                add_span("footer", "Vertraulich — nur für internen Gebrauch.")
+        docs.append({"doc_id": doc_id, "spans": spans})
+    return docs, goldens, orgs
+
+
+_SPAN_PA = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+
+def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED) -> dict:
+    """Generate (once, cached) the synthetic corpus for a scale tag.
+
+    ``tag_or_sf_dir`` may be a testdata dir like /root/testdata/sf0.01 or
+    a bare tag like "sf0.01". Returns dict of parquet paths.
+    """
+    tag = os.path.basename(tag_or_sf_dir.rstrip("/"))
+    n_docs = N_DOCS.get(tag, 200)
+    out = os.path.join(base_dir, tag)
+    paths = {
+        "documents_spans": os.path.join(out, "documents_spans.parquet"),
+        "golden_triples": os.path.join(out, "golden_triples.parquet"),
+        "org_mentions": os.path.join(out, "org_mentions.parquet"),
+    }
+    meta_path = os.path.join(out, "_meta.json")
+    want_meta = {"version": GEN_VERSION, "n_docs": n_docs, "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == want_meta and all(os.path.exists(p) for p in paths.values()):
+                return paths
+
+    docs, goldens, orgs = generate_corpus(n_docs, seed)
+    os.makedirs(out, exist_ok=True)
+
+    doc_tbl = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+            "spans": pa.array([d["spans"] for d in docs], pa.list_(_SPAN_PA)),
+        }
+    )
+    pq.write_table(doc_tbl, paths["documents_spans"])
+
+    g_cols = [
+        "doc_id",
+        "table_id",
+        "subj_name",
+        "subj_type",
+        "predicate",
+        "obj_name",
+        "obj_type",
+        "confidence",
+        "source_sentence",
+        "extraction_method",
+    ]
+    g_tbl = pa.table(
+        {
+            c: pa.array(
+                [g[c] for g in goldens],
+                pa.float64() if c == "confidence" else pa.string(),
+            )
+            for c in g_cols
+        }
+    )
+    pq.write_table(g_tbl, paths["golden_triples"])
+
+    o_tbl = pa.table(
+        {
+            "doc_id": pa.array([o["doc_id"] for o in orgs], pa.string()),
+            "name": pa.array([o["name"] for o in orgs], pa.string()),
+            "cluster_id": pa.array([o["cluster_id"] for o in orgs], pa.int32()),
+        }
+    )
+    pq.write_table(o_tbl, paths["org_mentions"])
+
+    with open(meta_path, "w") as f:
+        json.dump(want_meta, f)
+    return paths

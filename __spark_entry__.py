@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG pipeline (documents spans -> triples) at
+sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives an independent DuckDB recomputation
+of each (the KG queries read the deterministic synthetic spans parquet —
+generated at import if missing — via read_parquet; see
+pdf2ontology_spark/oracles.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,545 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import oracles, oracles_data, synth
+from pdf2ontology_spark.operators import (
+    classify,
+    condition,
+    dedup,
+    graph,
+    linking,
+    media,
+    relational,
+    segment,
+    similarity,
+    tabulate,
+    text,
+    triples,
+)
+from pdf2ontology_spark.sources import tables
+
+# the driver's DuckDB runs oracle SQL at sf0.01 — make sure the synthetic
+# corpus parquet exists before any oracle executes
+synth.ensure_synth("sf0.001")
+synth.ensure_synth("sf0.01")
+
+ORACLE_TAG = "sf0.01"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_documents_spans(spark, sf_dir)
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment.explode_spans(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "kind",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "offset",
+    )
+
+
+def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tabulate.semantic_entries(tabulate.table_cells(_spans(spark, sf_dir)))
+
+
+def _all_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _spans(spark, sf_dir)
+    return triples.all_triples(sp, tabulate.semantic_entries(tabulate.table_cells(sp)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full triple extraction over the interleaved corpus."""
+    return _all_triples(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+def q_segment_spans(spark, sf_dir):
+    return _spans(spark, sf_dir)
+
+
+def q_span_invariant(spark, sf_dir):
+    return segment.span_sequence_check(_docs(spark, sf_dir)).select(
+        "doc_id", "n_spans", F.col("is_ordered").cast("int").alias("is_ordered")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    return segment.doc_stats(_spans(spark, sf_dir))
+
+
+def q_reassemble_text(spark, sf_dir):
+    return segment.reassemble_text(_spans(spark, sf_dir))
+
+
+def q_table_cells(spark, sf_dir):
+    return tabulate.table_cells(_spans(spark, sf_dir))
+
+
+def q_relationship_entries(spark, sf_dir):
+    return _entries(spark, sf_dir)
+
+
+def q_triples_table(spark, sf_dir):
+    return triples.table_triples(_entries(spark, sf_dir))
+
+
+def q_triples_text(spark, sf_dir):
+    return triples.text_triples(_spans(spark, sf_dir))
+
+
+def q_triples_all(spark, sf_dir):
+    return _all_triples(spark, sf_dir)
+
+
+def q_entities_distinct(spark, sf_dir):
+    return graph.entities_distinct(_all_triples(spark, sf_dir))
+
+
+def q_entity_type_histogram(spark, sf_dir):
+    return graph.entity_type_histogram(_all_triples(spark, sf_dir))
+
+
+def q_nodes(spark, sf_dir):
+    return graph.nodes(_all_triples(spark, sf_dir)).select(
+        "entity_id",
+        "name",
+        "canonical_form",
+        "entity_type",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "mention_count",
+        "confidence",
+    )
+
+
+def q_edges(spark, sf_dir):
+    return graph.edges(_all_triples(spark, sf_dir))
+
+
+def q_graph_integrity(spark, sf_dir):
+    t = _all_triples(spark, sf_dir)
+    return graph.integrity_violations(graph.nodes(t), graph.edges(t))
+
+
+def q_auto_create_entities(spark, sf_dir):
+    t = _all_triples(spark, sf_dir)
+    base = graph.entities_distinct(triples.table_triples(_entries(spark, sf_dir))).withColumn(
+        "confidence", F.lit(0.6)
+    )
+    return graph.auto_create_entities(base, t).select(
+        "name",
+        "entity_type",
+        "confidence",
+        F.col("auto_created").cast("int").alias("auto_created"),
+    )
+
+
+# ------------------------------------------------- linking / canonicalize
+def q_canonical_nodes_lsh(spark, sf_dir):
+    out = linking.canonicalize(_all_triples(spark, sf_dir))
+    return out["nodes"].select(
+        "canonical_id",
+        "canonical_form",
+        "entity_type",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "mention_count",
+        "confidence",
+    )
+
+
+def q_canonical_edges_lsh(spark, sf_dir):
+    return linking.canonicalize(_all_triples(spark, sf_dir))["edges"]
+
+
+# ------------------------------------------------------ dedup family
+def _documents(spark, sf_dir):
+    return tables.load_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_exact_spans(spark, sf_dir):
+    """Boilerplate detection: exact-dup text spans across documents
+    (repeated footers/headers — the classic training-data cleanup)."""
+    spans = _spans(spark, sf_dir).filter(
+        (F.col("kind").isin("text", "footer", "header", "caption")) & (F.col("text") != "")
+    )
+    return dedup.dedup_exact(
+        spans.select(
+            F.concat_ws(":", "doc_id", F.col("offset").cast("string")).alias("span_id"), "text"
+        ),
+        "span_id",
+        "text",
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signature(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_pairs(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# -------------------------------------------------------- similarity
+def q_ann_brute_topk(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ------------------------------------------------------ text analysis
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_quality_score(spark, sf_dir):
+    return text.quality_score(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count(_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(_documents(spark, sf_dir), "doc_id", "text")
+
+
+# ------------------------------------------- classify / condition / W5
+def q_merged_sentences(spark, sf_dir):
+    return segment.merged_text_sentences(_spans(spark, sf_dir))
+
+
+def q_classify_documents(spark, sf_dir):
+    doc_text = segment.reassemble_text(_spans(spark, sf_dir)).select(
+        "doc_id", F.col("document_text").alias("text")
+    )
+    return classify.classify_documents(doc_text, "doc_id", "text")
+
+
+def q_assess_media(spark, sf_dir):
+    return condition.assess_media(_spans(spark, sf_dir)).select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "brightness",
+        "contrast",
+        "sharpness",
+        "noise",
+        "skew_deg",
+        "rotation_deg",
+        "quality",
+        F.col("needs_processing").cast("int").alias("needs_processing"),
+        F.array_join("actions", "|").alias("actions_joined"),
+    )
+
+
+def q_condition_rollup(spark, sf_dir):
+    return condition.condition_rollup(condition.assess_media(_spans(spark, sf_dir)))
+
+
+# --------------------------------------------------------- relational
+def q_pricing_summary(spark, sf_dir):
+    return relational.pricing_summary(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    return relational.shipping_priority(
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    return relational.region_rollup(
+        tables.load_table(spark, sf_dir, "region"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    return relational.sessionize(tables.load_table(spark, sf_dir, "events"))
+
+
+def q_event_type_stats(spark, sf_dir):
+    return relational.event_type_stats(tables.load_table(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------- media
+def q_media_features(spark, sf_dir):
+    return media.media_features(_spans(spark, sf_dir))
+
+
+def q_media_stats(spark, sf_dir):
+    return media.media_stats(media.media_features(_spans(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "segment_spans": q_segment_spans,
+        "span_invariant": q_span_invariant,
+        "doc_stats": q_doc_stats,
+        "reassemble_text": q_reassemble_text,
+        "table_cells": q_table_cells,
+        "relationship_entries": q_relationship_entries,
+        "triples_table": q_triples_table,
+        "triples_text": q_triples_text,
+        "triples_all": q_triples_all,
+        "entities_distinct": q_entities_distinct,
+        "entity_type_histogram": q_entity_type_histogram,
+        "nodes": q_nodes,
+        "edges": q_edges,
+        "graph_integrity": q_graph_integrity,
+        "auto_create_entities": q_auto_create_entities,
+        "canonical_nodes_lsh": q_canonical_nodes_lsh,
+        "canonical_edges_lsh": q_canonical_edges_lsh,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_spans": q_dedup_exact_spans,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_features": q_media_features,
+        "media_stats": q_media_stats,
+        "merged_sentences": q_merged_sentences,
+        "classify_documents": q_classify_documents,
+        "assess_media": q_assess_media,
+        "condition_rollup": q_condition_rollup,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_rollup": q_region_rollup,
+        "sessionize": q_sessionize,
+        "event_type_stats": q_event_type_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# ------------------------------------------------------------- oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = oracles
+    tag = ORACLE_TAG
+    W = "WITH " + o.spans_cte(tag)
+    WC = W + "," + o.cells_cte()
+    WE = WC + "," + o.entries_ctes()
+    TP = o.triples_prefix(tag)
+    eid_m = o.entity_id_sql("name", "entity_type")
+
+    return {
+        "segment_spans": W + '\nSELECT doc_id, kind, text, media_ref, off AS "offset" FROM spans',
+        "span_invariant": f"""
+SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
+  CAST((list_sort(offs) = offs AND len(list_distinct(offs)) = len(offs)) AS INTEGER) AS is_ordered
+FROM (SELECT doc_id, spans, [s."offset" FOR s IN spans] AS offs
+      FROM read_parquet('{o.spans_path(tag)}'))""",
+        "doc_stats": W
+        + """
+SELECT doc_id, count(*) AS n_spans,
+  sum(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS n_tables,
+  sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS n_media,
+  sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS n_text,
+  sum(length(text)) AS total_chars
+FROM spans GROUP BY doc_id""",
+        "reassemble_text": W
+        + """
+SELECT doc_id, string_agg(text, chr(10) ORDER BY off) AS document_text,
+       count(*) AS n_text_spans
+FROM spans WHERE kind IN ('text','title','header','caption') GROUP BY doc_id""",
+        "table_cells": WC + '\nSELECT doc_id, table_id, r AS "row", cc AS "col", txt AS text FROM cells',
+        "relationship_entries": WE
+        + "\nSELECT doc_id, table_id, row_idx, row_header, key, value FROM entries",
+        "triples_table": WE
+        + ","
+        + o.table_triples_cte()
+        + "\nSELECT * FROM table_triples",
+        "triples_text": W + "," + o.text_triples_cte() + "\nSELECT * FROM text_triples",
+        "triples_all": o.all_triples_sql(tag),
+        "entities_distinct": TP
+        + ","
+        + o.mentions_cte()
+        + "\nSELECT DISTINCT name, entity_type FROM mentions",
+        "entity_type_histogram": TP
+        + ","
+        + o.mentions_cte()
+        + "\nSELECT entity_type, count(*) AS n FROM mentions GROUP BY entity_type",
+        "nodes": TP
+        + ","
+        + o.mentions_cte()
+        + f""",
+per_surface AS (
+  SELECT {eid_m} AS entity_id, entity_type, name,
+         count(*) AS n, max(confidence) AS max_conf
+  FROM mentions GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id, entity_type
+                               ORDER BY n DESC, name ASC) AS rk
+  FROM per_surface)
+SELECT p.entity_id,
+       max(CASE WHEN p.rk = 1 THEN p.name END) AS name,
+       max(CASE WHEN p.rk = 1 THEN p.name END) AS canonical_form,
+       p.entity_type,
+       string_agg(p.name, '|' ORDER BY p.name) AS aliases_joined,
+       sum(p.n) AS mention_count,
+       max(p.max_conf) AS confidence
+FROM ranked p GROUP BY p.entity_id, p.entity_type""",
+        "edges": TP
+        + f""",
+e AS (
+  SELECT {o.entity_id_sql("subj_name", "subj_type")} AS subject_id, predicate,
+         {o.entity_id_sql("obj_name", "obj_type")} AS object_id, confidence
+  FROM triples),
+agg AS (
+  SELECT subject_id, predicate, object_id,
+         CAST(count(*) AS DOUBLE) AS weight, max(confidence) AS confidence
+  FROM e GROUP BY 1, 2, 3)
+SELECT sha256(subject_id || chr(31) || predicate || chr(31) || object_id) AS edge_id,
+       subject_id, predicate, object_id, weight, confidence
+FROM agg""",
+        "graph_integrity": TP
+        + f""",
+node_ids AS (SELECT DISTINCT {eid_m} AS entity_id FROM (
+  SELECT subj_name AS name, subj_type AS entity_type FROM triples
+  UNION ALL SELECT obj_name, obj_type FROM triples)),
+endpoints AS (
+  SELECT {o.entity_id_sql("subj_name", "subj_type")} AS entity_id FROM triples
+  UNION ALL SELECT {o.entity_id_sql("obj_name", "obj_type")} FROM triples)
+SELECT DISTINCT entity_id FROM endpoints
+WHERE entity_id NOT IN (SELECT entity_id FROM node_ids)""",
+        "auto_create_entities": TP
+        + """,
+base AS (
+  SELECT DISTINCT name, entity_type FROM (
+    SELECT subj_name AS name, subj_type AS entity_type FROM triples
+      WHERE extraction_method = 'fallback_rule_based'
+    UNION ALL
+    SELECT obj_name, obj_type FROM triples
+      WHERE extraction_method = 'fallback_rule_based')),
+referenced AS (
+  SELECT DISTINCT name FROM (
+    SELECT subj_name AS name FROM triples UNION ALL SELECT obj_name FROM triples))
+SELECT name, entity_type, CAST(0.6 AS DOUBLE) AS confidence, 0 AS auto_created FROM base
+UNION ALL
+SELECT r.name, 'other', CAST(0.7 AS DOUBLE), 1 FROM referenced r
+WHERE r.name NOT IN (SELECT name FROM base)""",
+        # canonical_nodes_lsh / canonical_edges_lsh intentionally omitted:
+        # MinHash-LSH + iterative connected components are not
+        # SQL-expressible (driver records rows-only; pytest checks them
+        # against the golden alias clusters instead).
+        "dedup_exact": oracles_data.dedup_exact_sql(),
+        "dedup_exact_spans": W
+        + """
+SELECT md5(text) AS content_hash, count(*) AS n_docs,
+       min(doc_id || ':' || CAST(off AS VARCHAR)) AS min_id
+FROM spans
+WHERE kind IN ('text','footer','header','caption') AND text <> ''
+GROUP BY 1 HAVING count(*) >= 2""",
+        "minhash_signatures": oracles_data.minhash_signature_sql(),
+        "minhash_pairs": oracles_data.minhash_pairs_sql(),
+        "ngram_jaccard_pairs": oracles_data.ngram_jaccard_sql(threshold=0.5),
+        "simhash": oracles_data.simhash_sql(),
+        "embedding_cosine_pairs": oracles_data.embedding_pairs_sql(threshold=0.45),
+        "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),
+        "ann_lsh_topk": oracles_data.ann_lsh_sql(k=5, n_queries=8),
+        "lang_id": oracles_data.lang_id_sql(),
+        "quality_score": oracles_data.quality_sql(),
+        "token_count": oracles_data.token_count_sql(),
+        "doc_fingerprint": oracles_data.fingerprint_sql(),
+        "media_features": oracles_data.media_features_sql(tag),
+        "media_stats": oracles_data.media_stats_sql(tag),
+        "merged_sentences": oracles_data.merged_sentences_sql(tag),
+        "classify_documents": oracles_data.classify_sql(tag),
+        "assess_media": oracles_data.assess_media_sql(tag),
+        "condition_rollup": oracles_data.condition_rollup_sql(tag),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "shipping_priority": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "region_rollup": """
+WITH dim AS (
+  SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey),
+cust AS (
+  SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS cust_acctbal
+  FROM customer JOIN dim ON c_nationkey = n_nationkey GROUP BY r_name),
+supp AS (
+  SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS supp_acctbal
+  FROM supplier JOIN dim ON s_nationkey = n_nationkey GROUP BY r_name)
+SELECT coalesce(cust.r_name, supp.r_name) AS r_name,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(cust_acctbal, 0.0) AS cust_acctbal,
+  coalesce(n_suppliers, 0) AS n_suppliers,
+  coalesce(supp_acctbal, 0.0) AS supp_acctbal
+FROM cust FULL OUTER JOIN supp ON cust.r_name = supp.r_name""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1
+         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, user_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+  round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_seq""",
+        "event_type_stats": """
+SELECT event_type, count(*) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(quantile_cont(value, 0.5), 4) AS median_value,
+  round(stddev(value), 4) AS stddev_value
+FROM events GROUP BY event_type""",
+    }

@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no disk-write variance). The flagship metric is triples/sec for the
+complete extraction pipeline (BASELINE.json: "triples/sec throughput").
+Synthetic-corpus generation is cached and excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf2ontology_spark import synth  # noqa: E402
+from pdf2ontology_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    synth.ensure_synth(SF_DIR)  # cached; generation excluded from timing
+    spark = get_spark(app_name="pdf2ontology_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    bench_queries = [
+        "segment_spans",
+        "doc_stats",
+        "reassemble_text",
+        "table_cells",
+        "relationship_entries",
+        "triples_all",
+        "entities_distinct",
+        "nodes",
+        "edges",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        timings[name] = round(_force(qs[name](spark, SF_DIR)), 3)
+
+    # flagship throughput: triples/sec over the full extraction
+    n_triples = entry.q_triples_all(spark, SF_DIR).count()
+    triples_sec = n_triples / timings["triples_all"] if timings["triples_all"] else 0.0
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    result = {
+        "metric": "kg_pipeline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "n_triples": n_triples,
+        "triples_per_sec": round(triples_sec, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Connected components over an edge list via iterative DataFrame
+self-joins (SURVEY.md §7.2 step 3 — the canonicalization substrate).
+
+Algorithm: iterative minimum-label propagation — each round every node
+takes the min label over itself and its neighbors; converges in
+O(component diameter) rounds. Alias/near-dup clusters have tiny
+diameters (2-4), so 3-6 rounds suffice in practice; ``max_iter`` guards
+the loop and convergence is detected with a cheap count of changed
+labels.
+
+Scale notes (10^12-node framing):
+- each round = one shuffle on node id (join) + one groupBy; lineage is
+  cut with localCheckpoint so the plan does not grow per round;
+- for planet-scale graphs the standard refinement is large-star/
+  small-star (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14), which bounds rounds by O(log^2 n) rather than
+  diameter; for LSH-blocked entity graphs the diameter IS tiny, so
+  min-label propagation does strictly fewer shuffles per round (no
+  star-splitting duplication) and wins — documented trade-off;
+- block-local pre-clustering (union-find inside applyInPandas within an
+  LSH band) can shrink the edge list before the global loop; not needed
+  at current scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) where component is the
+    minimum node id in the connected component. Nodes appear iff they
+    occur in the edge list. Deterministic."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for edge (a,b), b's current label is a candidate for a
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,103 @@
+"""Per-media-span condition assessment + repair action plan — the
+Spark-native form of the reference's document-condition stage:
+
+- CV metric extraction (RotationDetector/SkewDetector/QualityAssessor,
+  /root/reference/src/utils/document_analysis_utils.py:103-528) — the
+  metrics here are sha256-derived DETERMINISTIC STUBS (no image libs in
+  this container, same stance as operators/media.py); on a real cluster
+  the metric columns come from the media_features pandas UDF instead,
+  and everything downstream is unchanged.
+- quality composite 0.3*contrast + 0.2*brightness + 0.3*sharpness +
+  0.2*(1-noise) (document_analysis_utils.py:467-473, SURVEY A14);
+- condition -> action mapping + fixed priority ordering 1:rotate ..
+  8:threshold (image_utils.py:261-289, SURVEY O6);
+- skip predicate: good-quality spans pass through untouched
+  (document_preprocessing_chain.py:164-171 — the when/otherwise
+  short-circuit, SURVEY §3.2).
+
+All JVM-side; hash math is digit-wise so the DuckDB oracle reproduces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import functions as fn
+
+SKIP_QUALITY = 0.8  # document_preprocessing_chain.py:164-171
+
+
+def _hexval(h: Column, start: int, n: int) -> Column:
+    return F.conv(F.substring(h, start, n), 16, 10).cast("long")
+
+
+def assess_media(spans: DataFrame) -> DataFrame:
+    """media spans -> condition metrics + quality + ordered action plan.
+
+    Output: (doc_id, offset, media_ref, brightness, contrast, sharpness,
+    noise, skew_deg, rotation_deg, quality, needs_processing, actions).
+    """
+    h = F.sha2(F.col("media_ref"), 256)
+    bi, ci = _hexval(h, 1, 4), _hexval(h, 5, 4)
+    si, ni = _hexval(h, 9, 4), _hexval(h, 13, 4)
+    skew_deg = (_hexval(h, 17, 4) % 21 - 10).cast("int")
+    rotation_deg = ((_hexval(h, 21, 2) % 4) * 90).cast("int")
+
+    df = (
+        spans.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .withColumn("_bi", bi)
+        .withColumn("_ci", ci)
+        .withColumn("_si", si)
+        .withColumn("_ni", ni)
+        .withColumn("brightness", F.round(bi / 65535.0, 6))
+        .withColumn("contrast", F.round(ci / 65535.0, 6))
+        .withColumn("sharpness", F.round(si / 65535.0, 6))
+        .withColumn("noise", F.round(ni / 65535.0, 6))
+        .withColumn("skew_deg", skew_deg)
+        .withColumn("rotation_deg", rotation_deg)
+    )
+    # weighted composite (0.3/0.2/0.3/0.2, A14) computed as ONE integer
+    # expression divided once — float-tie-free across engines (a chained
+    # double weighted sum differs by 1 ulp between Spark and DuckDB)
+    quality = F.round(
+        (
+            3 * F.col("_ci") + 2 * F.col("_bi") + 3 * F.col("_si")
+            + 2 * (65535 - F.col("_ni"))
+        )
+        / 655350.0,
+        6,
+    )
+    raw_actions = F.concat(
+        F.when(F.col("rotation_deg") != 0, F.array(F.lit("rotate"))).otherwise(F.array()),
+        F.when(F.abs(F.col("skew_deg")) > 2, F.array(F.lit("deskew"))).otherwise(F.array()),
+        F.when(
+            (F.col("contrast") < 0.4) | (F.col("brightness") < 0.35),
+            F.array(F.lit("enhance_contrast")),
+        ).otherwise(F.array()),
+        F.when(F.col("noise") > 0.6, F.array(F.lit("denoise"))).otherwise(F.array()),
+        F.when(F.col("sharpness") < 0.4, F.array(F.lit("sharpen"))).otherwise(F.array()),
+    )
+    df = df.withColumn("quality", quality).withColumn(
+        "needs_processing",
+        (F.col("quality") <= SKIP_QUALITY) & (F.size(raw_actions) > 0),
+    )
+    # skip predicate: good spans keep an EMPTY plan (pass-through rows,
+    # same shape — the chain's copy-through at :169-171)
+    return df.withColumn(
+        "actions",
+        F.when(
+            F.col("needs_processing"), fn.priority_sorted_actions(raw_actions)
+        ).otherwise(F.array().cast("array<string>")),
+    ).drop("_bi", "_ci", "_si", "_ni")
+
+
+def condition_rollup(assessed: DataFrame) -> DataFrame:
+    """Corpus-level issue/action frequency (A13 —
+    document_preprocessing_chain.py:329-347): counts per action."""
+    return (
+        assessed.select(F.explode("actions").alias("action"))
+        .groupBy("action")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -1,0 +1,206 @@
+"""Deduplication family for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All hash functions are md5-derived so the SAME construction is
+reproducible in DuckDB oracle SQL (Spark ``md5`` and DuckDB ``md5``
+agree byte-for-byte; a fixed-width lowercase-hex prefix compares
+lexicographically == numerically, so ``min`` over hex strings is a
+valid minhash). Everything is JVM-side expressions — no UDFs.
+
+Scale notes:
+- shingling explodes ~W rows per doc; the minhash signature is ONE
+  groupBy(doc) with K min-aggregates (single shuffle), not K passes;
+- LSH banding turns pair-finding into an equi-join on band keys — the
+  classic O(n^2) -> O(n * dup_rate) reduction; AQE skew-join handles a
+  hot band (e.g. boilerplate-heavy corpora);
+- n-gram Jaccard join guards against hot shingles with a document-
+  frequency cap (``max_df``) — a stop-shingle appearing in half the
+  corpus would otherwise quadratically explode the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 12  # signature length
+LSH_BANDS = 6  # bands of rows = K // bands
+SHINGLE_W = 3  # words per shingle
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9äöüß]+"), lambda w: w != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> DataFrame:
+    """(id, text) -> distinct (id, shingle) word-w-gram rows."""
+    words = _words(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, w), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by content hash: (content_hash, n_docs,
+    min_id) for groups with n_docs >= 2. One shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").cast("long").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, w: int = SHINGLE_W
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — mh_i = min over shingles of
+    substr(md5(i || ':' || shingle), 1, 16). Single groupBy."""
+    sh = shingles(df, id_col, text_col, w)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
+            f"mh_{i}"
+        )
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_bands(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """signature -> (id, band, band_key): md5 over the band's rows."""
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    return sig.select("id", F.explode(F.array(*rows)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing any band bucket. (id_a < id_b)."""
+    bb = minhash_bands(minhash_signature(df, id_col, text_col, k), k, bands)
+    a = bb.withColumnRenamed("id", "id_a")
+    b = bb.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    w: int = SHINGLE_W,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with J >= threshold.
+
+    inter(a,b) counted via a self-equi-join on shingle; |A|,|B| joined
+    back; J = inter / (|A| + |B| - inter). ``max_df`` drops shingles in
+    more than that many docs (hot-key guard; dropped shingles only
+    LOWER similarity, so this is a recall-safe approximation for
+    near-dup detection at scale — logged, not silent).
+    """
+    sh = shingles(df, id_col, text_col, w).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_f = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "shingle").select(
+        "id", "shingle"
+    )
+    sizes = sh_f.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        sh_f.withColumnRenamed("id", "id_a")
+        .join(sh_f.withColumnRenamed("id", "id_b"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — sign-sum SimHash over word-token md5 bits.
+
+    token bit b = bit (b % 4) of hex digit (b // 4) of md5(token) —
+    digit-wise so the identical formula is expressible in DuckDB (which
+    has no hex->bigint conversion). simhash bit b is 1 iff the sum over
+    tokens of (2*bit - 1) > 0. One groupBy with ``bits``
+    sum-aggregates, assembled back into a long.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("tok")
+    ).select("id", F.md5("tok").alias("h"))
+
+    def bit(b: int) -> Column:
+        digit = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+
+    aggs = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s_{b}") for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, brute force.
+
+    The O(n^2) cross join is the correctness baseline; the scale path is
+    similarity.ann_lsh_topk (hyperplane-LSH bucketed). Dot products stay
+    JVM-side via zip_with + aggregate.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

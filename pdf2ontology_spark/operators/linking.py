@@ -1,0 +1,177 @@
+"""Entity linking beyond exact-name match (SURVEY.md §1.4/§7.2): name
+normalization, MinHash-LSH blocking over character 3-gram shingles,
+exact-Jaccard verification, connected-components canonicalization, and
+graph rebuild on canonical ids.
+
+This populates the reference's declared-but-never-written
+Entity.canonical_form / entity dedup beyond exact name
+(/root/reference/src/pydantic_models/knowledge_models.py:43-46; exact
+name map at triplet_extractor.py:253-272).
+
+Pipeline (all DataFrame ops):
+1. surfaces: distinct (name, entity_type) with a normalized key
+   (graph.canonical_key_col) — value-like types (numeric/date) keep
+   exact keys and never enter fuzzy blocking.
+2. candidate pairs = exact-key equality ∪ (MinHash-LSH band match AND
+   char-3-gram Jaccard >= threshold). LSH bounds the self-join; the
+   Jaccard check removes banding false positives.
+3. connected components (components.connected_components) over pairs —
+   iterative self-joins, the north-rule canonicalization.
+4. canonical_nodes/canonical_edges: groupBy component, representative =
+   most frequent surface form; edges remapped via an id -> component
+   broadcast-size dimension join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark.operators import components, graph
+
+JACCARD_THRESHOLD = 0.6
+LSH_K = 12
+LSH_BANDS = 6
+
+
+def _char_shingles_expr(col_name: str, n: int = 3) -> Column:
+    """Distinct character n-grams of a (normalized) string."""
+    c = F.col(col_name)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def surfaces(triples: DataFrame) -> DataFrame:
+    """Distinct mention surfaces with canonical keys and stable ids."""
+    return (
+        graph.mentions(triples)
+        .groupBy("name", "entity_type")
+        .agg(F.count("*").cast("long").alias("n"), F.max("confidence").alias("max_conf"))
+        .withColumn("key", graph.canonical_key_col(F.col("name"), F.col("entity_type")))
+        .withColumn("surface_id", F.sha2(F.concat_ws("\x1f", "name", "entity_type"), 256))
+    )
+
+
+def candidate_pairs(surf: DataFrame) -> DataFrame:
+    """(id_a, id_b) candidate links within entity_type.
+
+    exact-key pairs: equi-join on (key, entity_type) — cheap blocking.
+    fuzzy pairs: only non-value types; minhash over char-3-grams of the
+    key, banded; verified with exact Jaccard >= threshold.
+    """
+    s = surf.select("surface_id", "entity_type", "key")
+    exact = (
+        s.alias("a")
+        .join(s.alias("b"), ["key", "entity_type"])
+        .filter(F.col("a.surface_id") < F.col("b.surface_id"))
+        .select(
+            F.col("a.surface_id").alias("id_a"), F.col("b.surface_id").alias("id_b")
+        )
+    )
+
+    fuzzy_base = s.filter(~F.col("entity_type").isin(graph.VALUE_TYPES)).withColumn(
+        "grams", _char_shingles_expr("key")
+    )
+    sh = fuzzy_base.select(
+        "surface_id", "entity_type", "grams", F.explode("grams").alias("shingle")
+    )
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
+            f"mh_{i}"
+        )
+        for i in range(LSH_K)
+    ]
+    sig = sh.groupBy("surface_id", "entity_type").agg(*aggs)
+    r = LSH_K // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "surface_id", "entity_type", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("surface_id", "entity_type", "bb.band", "bb.band_key")
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["entity_type", "band", "band_key"])
+        .filter(F.col("a.surface_id") < F.col("b.surface_id"))
+        .select(
+            F.col("a.surface_id").alias("id_a"), F.col("b.surface_id").alias("id_b")
+        )
+        .distinct()
+    )
+    grams_dim = fuzzy_base.select("surface_id", "grams")
+    verified = (
+        cand.join(grams_dim.withColumnRenamed("surface_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(grams_dim.withColumnRenamed("surface_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    return exact.unionByName(verified).distinct()
+
+
+def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:
+    """Full LSH + connected-components canonicalization.
+
+    Returns {surfaces, mapping, nodes, edges}: mapping is
+    (surface_id -> canonical_id); nodes/edges are the canonical graph.
+    """
+    surf = surfaces(triples).cache()
+    pairs = candidate_pairs(surf)
+    comp = components.connected_components(pairs, "id_a", "id_b")
+    mapping = (
+        surf.join(comp.withColumnRenamed("node", "surface_id"), "surface_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", "surface_id"))
+        .select("surface_id", "name", "entity_type", "n", "max_conf", "canonical_id")
+    )
+    nodes = mapping.groupBy("canonical_id").agg(
+        F.min_by("name", F.struct((-F.col("n")).alias("nn"), F.col("name"))).alias(
+            "canonical_form"
+        ),
+        F.min_by("entity_type", F.struct((-F.col("n")).alias("nn"), F.col("name"))).alias(
+            "entity_type"
+        ),
+        F.array_sort(F.collect_set("name")).alias("aliases"),
+        F.sum("n").cast("long").alias("mention_count"),
+        F.max("max_conf").alias("confidence"),
+    )
+
+    m_subj = mapping.select(
+        F.col("name").alias("subj_name"),
+        F.col("entity_type").alias("subj_type"),
+        F.col("canonical_id").alias("subject_id"),
+    )
+    m_obj = mapping.select(
+        F.col("name").alias("obj_name"),
+        F.col("entity_type").alias("obj_type"),
+        F.col("canonical_id").alias("object_id"),
+    )
+    edges = (
+        triples.join(m_subj, ["subj_name", "subj_type"])
+        .join(m_obj, ["obj_name", "obj_type"])
+        .groupBy("subject_id", "predicate", "object_id")
+        .agg(
+            F.count("*").cast("double").alias("weight"),
+            F.max("confidence").alias("confidence"),
+        )
+        .withColumn(
+            "edge_id",
+            F.sha2(F.concat_ws("\x1f", "subject_id", "predicate", "object_id"), 256),
+        )
+        .select("edge_id", "subject_id", "predicate", "object_id", "weight", "confidence")
+    )
+    return {"surfaces": surf, "pairs": pairs, "mapping": mapping, "nodes": nodes, "edges": edges}

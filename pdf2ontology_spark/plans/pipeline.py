@@ -56,7 +56,9 @@ def run_kg_pipeline(
     salt: int = 4,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage as a DataFrame."""
-    docs = tables.load_documents_spans(spark, sf_dir)
+    # repartition=False: the salted repartition below is this plan's own
+    # (single) post-scan shuffle — don't pay a second one in the loader
+    docs = tables.load_documents_spans(spark, sf_dir, repartition=False)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = salted_repartition(docs, n_part, salt)
 

@@ -66,7 +66,7 @@ OPTION_NOTES_PREFIX = "Selected from options: "
 LEGAL_SUFFIX_RE = (
     r"\s+(ag|a\.g\.|gmbh|g\.m\.b\.h\.|ltd|ltd\.|limited|inc|inc\.|co|co\.|kg)\s*$"
 )
-PUNCT_RE = r"[^a-z0-9äöüß ]"
+PUNCT_RE = r"[^a-z0-9äöüß]+"  # any run of non-alnum (incl. whitespace) -> one space
 
 
 def classify_value(value: str) -> str:
@@ -86,6 +86,5 @@ def normalize_name(name: str) -> str:
 
     s = name.lower().strip()
     s = re.sub(LEGAL_SUFFIX_RE, "", s)
-    s = re.sub(PUNCT_RE, " ", s)
-    s = re.sub(r"\s+", " ", s).strip()
+    s = re.sub(PUNCT_RE, " ", s).strip()
     return s

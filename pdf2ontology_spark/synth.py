@@ -28,12 +28,13 @@ import pyarrow.parquet as pq
 
 from pdf2ontology_spark import rules
 
-GEN_VERSION = 3  # bump to invalidate cached parquet
+GEN_VERSION = 5  # bump to invalidate cached parquet
 DEFAULT_SEED = 42
 SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
 
-# docs per scale tag (FIXTURES.md F1 generator parameters)
-N_DOCS = {"sf0.001": 200, "sf0.01": 5000, "sf0.1": 50000}
+# docs per scale tag (FIXTURES.md F1 generator parameters);
+# sfxl is the scaling-bench corpus (compute must dominate fixed overheads)
+N_DOCS = {"sf0.001": 200, "sf0.01": 5000, "sf0.1": 50000, "sfxl": 150000, "sfxxl": 600000}
 
 PARAMS = [
     ("durchfluss", "l/min"),
@@ -53,12 +54,14 @@ PARAMS = [
 ]
 
 # Alias clusters for entity linking (FIXTURES.md F4): every variant in a
-# cluster normalizes (rules.normalize_name) to the same key OR is linked
-# by the MinHash similarity stage; cluster membership is the golden.
+# cluster normalizes (rules.normalize_name) to the same key OR — for the
+# typo variants (last entry of the first three clusters) — is reachable
+# only via MinHash-LSH blocking + char-3-gram Jaccard >= 0.6, so the
+# fuzzy path is load-bearing; cluster membership is the golden.
 ORG_CLUSTERS = [
-    ["Samson AG", "SAMSON", "Samson A.G."],
-    ["Acme GmbH", "ACME", "Acme G.m.b.H."],
-    ["TechCorp Ltd", "TECHCORP", "TechCorp Limited"],
+    ["Samson AG", "SAMSON", "Samson A.G.", "Samsonn AG"],
+    ["Acme GmbH", "ACME", "Acme G.m.b.H.", "Acmee GmbH"],
+    ["TechCorp Ltd", "TECHCORP", "TechCorp Limited", "TechCorpp Ltd"],
     ["Nordwerk AG", "NORDWERK"],
     ["Hydro Systems KG", "HYDRO SYSTEMS"],
 ]
@@ -85,6 +88,12 @@ FILLERS = [
     "Technische Änderungen vorbehalten.",
     "Siehe Abschnitt 4 für weitere Details.",
     "Subject to change without notice.",
+    # doc-type flavor sentences (exercise the keyword classifier; none
+    # match a triple pattern)
+    "Bestellung Nr. 4711 über 5 Stück laut purchase order.",
+    "Der Vertrag regelt die terms and conditions beider Parteien.",
+    "Die Betriebsanleitung beschreibt Installation und Wartung.",
+    "Abstract: we propose a new evaluation of related work.",
 ]
 
 
@@ -277,7 +286,20 @@ def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
             elif kind == "text":
                 text, g = _make_text_span(rng, doc_id, org)
                 goldens.extend(g)
-                add_span("text", text)
+                words = text.split(" ")
+                # split points whose left part must NOT end with '.' (the
+                # merge rule keys on the missing terminator)
+                ks = [k for k in range(2, len(words) - 1) if not words[k - 1].endswith(".")]
+                if rng.random() < 0.1 and len(words) >= 4 and ks:
+                    # cross-span split: sentence continues in the NEXT
+                    # text span (reference CrossPageContent semantics,
+                    # content_models.py:55-82) — the engine must merge
+                    # before pattern extraction (W5 load-bearing)
+                    k = rng.choice(ks)
+                    add_span("text", " ".join(words[:k]))
+                    add_span("text", " ".join(words[k:]))
+                else:
+                    add_span("text", text)
             elif kind == "media":
                 add_span("media", "", f"media://{doc_id}/{off}.png")
             elif kind == "header":
@@ -330,7 +352,9 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
             "spans": pa.array([d["spans"] for d in docs], pa.list_(_SPAN_PA)),
         }
     )
-    pq.write_table(doc_tbl, paths["documents_spans"])
+    # small row groups so a parquet scan can split (one giant row group
+    # makes the whole file a single Spark task)
+    pq.write_table(doc_tbl, paths["documents_spans"], row_group_size=2048)
 
     g_cols = [
         "doc_id",

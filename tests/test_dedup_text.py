@@ -1,0 +1,99 @@
+"""Dedup family + text analysis unit tests on tiny known inputs."""
+
+import pytest
+
+from pdf2ontology_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup of d1
+        ("d3", "the quick brown fox jumps over the lazy cat"),  # near dup
+        ("d4", "völlig anderes deutsches dokument und zwar ganz und gar"),
+        ("d5", "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_dedup_exact(spark, docs):
+    groups = dedup.dedup_exact(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].min_id == "d1"
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sig = {r.id: tuple(r[i] for i in range(1, 13)) for r in
+           dedup.minhash_signature(docs, "doc_id", "text").collect()}
+    assert sig["d1"] == sig["d2"]
+    assert sig["d1"] != sig["d4"]
+
+
+def test_minhash_pairs_find_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_pairs(docs, "doc_id", "text").collect()}
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs  # 7/9 shared shingles -> some band collides
+    assert not any("d4" in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[("d1", "d2")] == 1.0
+    # d1/d3: 7 word-3-grams each, 6 shared -> J = 6/8 = 0.75
+    assert pairs[("d1", "d3")] == 0.75
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sh["d1"] == sh["d2"]
+    ham13 = bin(sh["d1"] ^ sh["d3"]).count("1")
+    ham14 = bin(sh["d1"] ^ sh["d4"]).count("1")
+    assert ham13 < ham14
+
+
+def test_embedding_pairs_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.embedding_cosine_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+    topk = similarity.brute_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r.corpus_id for r in sorted(topk, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_lang_id(spark):
+    rows = [
+        ("e", "the cat sat on the mat and looked to the door"),
+        ("d", "der Hund ist im Haus und die Katze ist im Garten"),
+        ("u", "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    langs = {r.id: r.lang for r in text.lang_id(df, "doc_id", "text").collect()}
+    assert langs == {"e": "en", "d": "de", "u": "unknown"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a", "Hello, world! 42x")], "doc_id string, text string")
+    r = text.token_count(df, "doc_id", "text").collect()[0]
+    assert r.ws_tokens == 3
+    # Hello , world ! 42 x -> 6 BPE-ish tokens
+    assert r.bpe_tokens == 6
+
+
+def test_quality_and_fingerprint_deterministic(spark, docs):
+    q1 = {r.id: r.quality for r in text.quality_score(docs, "doc_id", "text").collect()}
+    q2 = {r.id: r.quality for r in text.quality_score(docs, "doc_id", "text").collect()}
+    assert q1 == q2
+    assert all(0.0 <= v <= 1.0 for v in q1.values())
+    f = {r.id: r.fingerprint for r in text.fingerprint(docs, "doc_id", "text").collect()}
+    assert f["d1"] == f["d2"] and f["d1"] != f["d4"]

@@ -1,0 +1,64 @@
+"""Graph materialization: canonicalization, J1 auto-create, integrity."""
+
+from pyspark.sql import Row
+
+from pdf2ontology_spark.operators import graph
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        schema="doc_id string, table_id string, subj_name string, subj_type string,"
+        "predicate string, obj_name string, obj_type string, confidence double,"
+        "source_sentence string, extraction_method string",
+    )
+
+
+def test_nodes_merge_aliases(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", None, "Samson AG", "organization", "produces", "Ventil", "product", 0.8, "s", "m"),
+            ("d2", None, "SAMSON", "organization", "produces", "Ventil", "product", 0.8, "s", "m"),
+            ("d3", None, "Samson A.G.", "organization", "produces", "Ventil", "product", 0.8, "s", "m"),
+            ("d4", None, "SAMSON", "organization", "produces", "Regler", "product", 0.8, "s", "m"),
+        ],
+    )
+    nodes = {r.canonical_form: r for r in graph.nodes(t).collect()}
+    # the three surface forms normalize to "samson" -> one node
+    org = [r for r in nodes.values() if r.entity_type == "organization"]
+    assert len(org) == 1
+    assert sorted(org[0].aliases) == ["SAMSON", "Samson A.G.", "Samson AG"]
+    assert org[0].mention_count == 4
+    assert org[0].canonical_form == "SAMSON"  # most frequent surface form
+
+
+def test_edges_weight_and_integrity(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", None, "A", "product", "contains", "B", "product", 0.8, "s", "m"),
+            ("d2", None, "A", "product", "contains", "B", "product", 0.6, "s", "m"),
+            ("d3", None, "a", "product", "contains", "B", "product", 0.7, "s", "m"),
+        ],
+    )
+    n, e = graph.nodes(t), graph.edges(t)
+    edges = e.collect()
+    assert len(edges) == 1  # "A" and "a" canonicalize together
+    assert edges[0].weight == 3.0
+    assert edges[0].confidence == 0.8
+    assert graph.integrity_violations(n, e).count() == 0
+
+
+def test_auto_create_entities(spark):
+    entities = spark.createDataFrame(
+        [("A", "product", 0.9)], "name string, entity_type string, confidence double"
+    )
+    relations = spark.createDataFrame(
+        [("A", "B"), ("C", "A")], "subj_name string, obj_name string"
+    )
+    out = {r.name: r for r in graph.auto_create_entities(entities, relations).collect()}
+    assert out["A"].auto_created is False and out["A"].entity_type == "product"
+    assert out["B"].auto_created is True and out["B"].entity_type == "other"
+    assert out["B"].confidence == 0.7  # triplet_extractor.py:289
+    assert out["C"].auto_created is True

@@ -1,0 +1,47 @@
+"""Media plumbing (mapInPandas stub decode) + streaming micro-batch
+equivalence with the batch pipeline."""
+
+import time
+
+from pdf2ontology_spark.operators import media, segment, tabulate, triples
+from pdf2ontology_spark.sources import tables
+from pdf2ontology_spark.streaming.incremental import stream_triples
+
+
+def test_media_features_deterministic_stub(spark):
+    docs = tables.load_documents_spans(spark, "/root/testdata/sf0.001")
+    spans = segment.explode_spans(docs)
+    feats = media.media_features(spans).cache()
+    n_media = spans.filter("kind = 'media'").count()
+    assert feats.count() == n_media
+    r = feats.orderBy("doc_id", "offset").first()
+    # stub is sha256-derived: re-running gives identical values
+    r2 = media.media_features(spans).orderBy("doc_id", "offset").first()
+    assert r == r2
+    assert 64 <= r.width < 64 + 4032 and 64 <= r.height < 64 + 3024
+    assert r.format in ("png", "jpeg", "tiff") and len(r.phash) == 16
+    stats = media.media_stats(feats)
+    assert stats.count() == spans.filter("kind='media'").select("doc_id").distinct().count()
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    docs = tables.load_documents_spans(spark, "/root/testdata/sf0.001")
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs.write.parquet(in_dir)
+
+    q = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    spans = segment.explode_spans(docs)
+    batch = triples.all_triples(spans, tabulate.semantic_entries(tabulate.table_cells(spans)))
+    cols = batch.columns
+    assert streamed.select(*cols).exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed.select(*cols)).count() == 0
+
+    # resume: nothing new in the directory -> no duplicate output rows
+    n1 = streamed.count()
+    q2 = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    time.sleep(0.5)
+    assert spark.read.parquet(out_dir).count() == n1

@@ -1,0 +1,98 @@
+"""Triple-rule tests: exact expected rows for the fallback rule
+(/root/reference/src/knowledge_extractor/triplet_extractor.py:339-384)
+and the sentence patterns."""
+
+import json
+
+from pyspark.sql import Row
+
+from pdf2ontology_spark.operators import segment, tabulate, triples
+
+
+def _spans(spark, rows):
+    return segment.explode_spans(spark.createDataFrame(rows))
+
+
+def test_fallback_rule_exact(spark):
+    cells = [
+        {"row": 0, "col": 0, "text": "Parameter"},
+        {"row": 0, "col": 1, "text": "Wert"},
+        {"row": 1, "col": 0, "text": "durchfluss"},
+        {"row": 1, "col": 1, "text": "20-50 l/min"},
+        {"row": 2, "col": 0, "text": "Stellort"},
+        {"row": 2, "col": 1, "text": "Kesselhaus"},
+        {"row": 3, "col": 0, "text": "leer"},
+        {"row": 3, "col": 1, "text": ""},
+    ]
+    spans = _spans(
+        spark,
+        [Row(doc_id="d", spans=[Row(kind="table", text=json.dumps(cells), media_ref="", offset=0)])],
+    )
+    out = triples.table_triples(tabulate.semantic_entries(tabulate.table_cells(spans))).collect()
+    got = {
+        (r.subj_name, r.subj_type, r.predicate, r.obj_name, r.obj_type, r.confidence,
+         r.source_sentence, r.extraction_method)
+        for r in out
+    }
+    assert got == {
+        ("durchfluss", "concept", "related_to", "20-50 l/min", "numeric", 0.6,
+         "durchfluss has value of 20-50 l/min", "fallback_rule_based"),
+        ("Stellort", "concept", "related_to", "Kesselhaus", "location", 0.6,
+         "Stellort has value of Kesselhaus", "fallback_rule_based"),
+    }
+
+
+def test_reference_strict_caps_three_rows(spark):
+    cells = [{"row": 0, "col": 0, "text": "P"}, {"row": 0, "col": 1, "text": "V"}]
+    for i in range(1, 6):
+        cells += [
+            {"row": i, "col": 0, "text": f"p{i}"},
+            {"row": i, "col": 1, "text": str(i)},
+        ]
+    spans = _spans(
+        spark,
+        [Row(doc_id="d", spans=[Row(kind="table", text=json.dumps(cells), media_ref="", offset=0)])],
+    )
+    entries = tabulate.semantic_entries(tabulate.table_cells(spans))
+    assert triples.table_triples(entries).count() == 5
+    # the reference processes data_rows[:3] only (triplet_extractor.py:358)
+    strict = triples.table_triples(entries, reference_strict=True)
+    assert {r.subj_name for r in strict.collect()} == {"p1", "p2", "p3"}
+
+
+def test_text_patterns(spark):
+    spans = _spans(
+        spark,
+        [
+            Row(
+                doc_id="d",
+                spans=[
+                    Row(kind="text", text="Die Anlage Pumpe P-100 befindet sich im Kesselhaus.",
+                        media_ref="", offset=0),
+                    Row(kind="text", text="Samson AG liefert Regler R-20.", media_ref="", offset=1),
+                    Row(kind="text", text="Technische Änderungen vorbehalten.", media_ref="", offset=2),
+                    Row(kind="title", text="Die Anlage X befindet sich im Y.", media_ref="", offset=3),
+                ],
+            )
+        ],
+    )
+    got = {
+        (r.subj_name, r.predicate, r.obj_name, r.subj_type, r.obj_type)
+        for r in triples.text_triples(spans).collect()
+    }
+    # title spans are not text spans -> no extraction from offset 3
+    assert got == {
+        ("Pumpe P-100", "located_in", "Kesselhaus", "product", "location"),
+        ("Samson AG", "produces", "Regler R-20", "organization", "product"),
+    }
+
+
+def test_numeric_location_typing(spark):
+    from pdf2ontology_spark.rules import classify_value
+
+    assert classify_value("20-50 l/min") == "numeric"
+    assert classify_value("5.2 bar") == "numeric"
+    assert classify_value("20") == "numeric"
+    assert classify_value("-10 °C") == "numeric"
+    assert classify_value("Kesselhaus") == "location"
+    assert classify_value("flüssig") == "other"

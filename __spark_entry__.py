@@ -99,6 +99,12 @@ def q_triples_table(spark, sf_dir):
     return triples.table_triples(_entries(spark, sf_dir))
 
 
+def q_triples_table_strict(spark, sf_dir):
+    """Reference-exact degraded mode: the fallback only processes the
+    first 3 table rows (triplet_extractor.py:358)."""
+    return triples.table_triples(_entries(spark, sf_dir), reference_strict=True)
+
+
 def q_triples_text(spark, sf_dir):
     return triples.text_triples(_spans(spark, sf_dir))
 
@@ -323,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": q_table_cells,
         "relationship_entries": q_relationship_entries,
         "triples_table": q_triples_table,
+        "triples_table_strict": q_triples_table_strict,
         "triples_text": q_triples_text,
         "triples_all": q_triples_all,
         "entities_distinct": q_entities_distinct,
@@ -396,6 +403,15 @@ FROM spans WHERE kind IN ('text','title','header','caption') GROUP BY doc_id""",
         "triples_table": WE
         + ","
         + o.table_triples_cte()
+        + "\nSELECT * FROM table_triples",
+        "triples_table_strict": WE
+        + """,
+entries_capped AS (
+  SELECT * FROM (
+    SELECT e.*, dense_rank() OVER (PARTITION BY doc_id, table_id ORDER BY row_idx) AS _rk
+    FROM entries e)
+  WHERE _rk <= 3),"""
+        + o.table_triples_cte().replace("FROM entries", "FROM entries_capped")
         + "\nSELECT * FROM table_triples",
         "triples_text": W + "," + o.text_triples_cte() + "\nSELECT * FROM text_triples",
         "triples_all": o.all_triples_sql(tag),

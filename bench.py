@@ -47,6 +47,13 @@ def main() -> None:
         "entities_distinct",
         "nodes",
         "edges",
+        "canonical_nodes_lsh",
+        "minhash_pairs",
+        "simhash",
+        "lang_id",
+        "token_count",
+        "ann_brute_topk",
+        "assess_media",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

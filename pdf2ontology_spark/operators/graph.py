@@ -153,18 +153,44 @@ def nodes(triples: DataFrame) -> DataFrame:
     )
 
 
+def surface_ids(triples: DataFrame) -> DataFrame:
+    """(name, entity_type, entity_id) for every DISTINCT mention surface.
+
+    The id expression (normalize regexes + sha2) runs once per distinct
+    surface instead of once per triple row — at 8M triples/600k docs
+    that is ~60k evaluations instead of 16M, and the triple-side lookup
+    becomes a join that AQE broadcasts (the surface dim is tiny relative
+    to the fact stream at every scale)."""
+    return (
+        mentions(triples)
+        .select("name", "entity_type")
+        .distinct()
+        .withColumn("entity_id", entity_id_col(F.col("name"), F.col("entity_type")))
+    )
+
+
 def edges(triples: DataFrame) -> DataFrame:
     """Canonicalized edge table (schemas.EDGES), exact blocking.
 
-    Endpoint ids are pure expressions — no join with the node table.
-    weight = co-occurrence count (Relation.weight semantics,
+    Endpoint ids come from the surface-id dimension (compute-once,
+    join-many); weight = co-occurrence count (Relation.weight semantics,
     knowledge_models.py:77-81); confidence = max over merged triples.
     """
-    e = triples.select(
-        entity_id_col(F.col("subj_name"), F.col("subj_type")).alias("subject_id"),
-        "predicate",
-        entity_id_col(F.col("obj_name"), F.col("obj_type")).alias("object_id"),
-        "confidence",
+    dim = surface_ids(triples)
+    subj_dim = dim.select(
+        F.col("name").alias("subj_name"),
+        F.col("entity_type").alias("subj_type"),
+        F.col("entity_id").alias("subject_id"),
+    )
+    obj_dim = dim.select(
+        F.col("name").alias("obj_name"),
+        F.col("entity_type").alias("obj_type"),
+        F.col("entity_id").alias("object_id"),
+    )
+    e = (
+        triples.join(subj_dim, ["subj_name", "subj_type"])
+        .join(obj_dim, ["obj_name", "obj_type"])
+        .select("subject_id", "predicate", "object_id", "confidence")
     )
     agg = e.groupBy("subject_id", "predicate", "object_id").agg(
         F.count("*").cast("double").alias("weight"),

@@ -1,0 +1,209 @@
+"""Grid reconstruction from detected bounding boxes — the Spark form of
+the reference's table-transformer post-processing
+(/root/reference/src/table_processors/table_transformer.py). The corpus
+ships pre-gridded cells, so these operators serve detection-style inputs
+(bbox rows from a layout model); they are the J2/J3/J5 + W1/W3 + A8-A11
+rows of SURVEY.md §2.
+
+Scale stance: a table's detections are tiny (5-50 boxes), so every join
+here is *within* a (doc_id, table_id) group — the joins below are
+group-local equi-joins on the table key plus a non-equi predicate, which
+Spark executes as one shuffle on the table key with group-local nested
+loops (exactly what the data shape wants; no crossJoin of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import functions as fn
+
+KEY = ["doc_id", "table_id"]
+
+
+def index_bands(detections: DataFrame, bucket: str) -> DataFrame:
+    """W1: sort row-bands by y (column-bands by x) within each table and
+    assign 0-based indexes (table_transformer.py:154-163).
+
+    detections: (doc_id, table_id, bucket, x, y, w, h); bucket is
+    'row' | 'column' | 'header' | 'spanning_cell' (the F10 label routing
+    of table_transformer.py:105-125, done upstream with one when-chain).
+    """
+    order = F.col("y") if bucket == "row" else F.col("x")
+    w = Window.partitionBy(*KEY).orderBy(order.asc(), "x", "y")
+    return (
+        detections.filter(F.col("bucket") == bucket)
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+
+
+def assign_cells(cells: DataFrame, rows: DataFrame, cols: DataFrame) -> DataFrame:
+    """J3: assign each detected cell box to the argmin-center-distance
+    row band and column band (table_transformer.py:893-902).
+
+    cells: (doc_id, table_id, cell_id, x, y, w, h, text)
+    rows/cols: output of index_bands. Returns cells + (row, col).
+    """
+    cy = F.col("y") + F.col("h") / 2
+    cx = F.col("x") + F.col("w") / 2
+    c = cells.withColumn("_cx", cx).withColumn("_cy", cy)
+
+    def nearest(bands: DataFrame, center, out: str) -> DataFrame:
+        b = bands.select(
+            *KEY,
+            F.col("idx").alias(f"_{out}_idx"),
+            ((F.col("y") + F.col("h") / 2) if out == "row" else (F.col("x") + F.col("w") / 2)).alias(
+                f"_{out}_c"
+            ),
+        )
+        joined = c.join(b, KEY)
+        wname = Window.partitionBy(*KEY, "cell_id").orderBy(
+            F.abs(center - F.col(f"_{out}_c")).asc(), F.col(f"_{out}_idx").asc()
+        )
+        return (
+            joined.withColumn("_rk", F.row_number().over(wname))
+            .filter(F.col("_rk") == 1)
+            .select(*KEY, "cell_id", F.col(f"_{out}_idx").alias(out))
+        )
+
+    r = nearest(rows, F.col("_cy"), "row")
+    k = nearest(cols, F.col("_cx"), "col")
+    return (
+        cells.join(r, [*KEY, "cell_id"]).join(k, [*KEY, "cell_id"])
+    )
+
+
+def apply_spanning_cells(grid_cells: DataFrame, span_boxes: DataFrame) -> DataFrame:
+    """J2 + A11: map spanning-cell boxes onto overlapped grid cells
+    (table_transformer.py:290-325): within a span's covered set, the
+    min-(row, col) cell becomes MERGED with rowspan/colspan = extent;
+    the rest become EMPTY; untouched cells stay NORMAL.
+
+    grid_cells: (doc_id, table_id, row, col, x, y, w, h, text)
+    span_boxes: (doc_id, table_id, span_id, x, y, w, h)
+    """
+    g = grid_cells.select(
+        *KEY, "row", "col", "text",
+        F.col("x").alias("gx"), F.col("y").alias("gy"),
+        F.col("w").alias("gw"), F.col("h").alias("gh"),
+    )
+    s = span_boxes.select(
+        *KEY, "span_id",
+        F.col("x").alias("sx"), F.col("y").alias("sy"),
+        F.col("w").alias("sw"), F.col("h").alias("sh"),
+    )
+    overlap = fn.bbox_overlap(
+        F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
+        F.col("sx"), F.col("sy"), F.col("sw"), F.col("sh"),
+    )
+    covered = g.join(s, KEY).filter(overlap)
+    extent = covered.groupBy(*KEY, "span_id").agg(
+        F.min("row").alias("r0"),
+        F.max("row").alias("r1"),
+        F.min("col").alias("c0"),
+        F.max("col").alias("c1"),
+    )
+    tagged = covered.join(extent, [*KEY, "span_id"]).select(
+        *KEY, "row", "col",
+        F.when((F.col("row") == F.col("r0")) & (F.col("col") == F.col("c0")), "merged")
+        .otherwise("empty")
+        .alias("cell_type"),
+        (F.col("r1") - F.col("r0") + 1).alias("rowspan"),
+        (F.col("c1") - F.col("c0") + 1).alias("colspan"),
+    )
+    return (
+        grid_cells.join(tagged, [*KEY, "row", "col"], "left")
+        .select(
+            *KEY, "row", "col", "text",
+            F.coalesce("cell_type", F.lit("normal")).alias("cell_type"),
+            F.when(F.col("cell_type") == "merged", F.col("rowspan")).otherwise(1).alias("rowspan"),
+            F.when(F.col("cell_type") == "merged", F.col("colspan")).otherwise(1).alias("colspan"),
+        )
+    )
+
+
+def expand_spans(cells: DataFrame) -> DataFrame:
+    """J5 (first half): scatter cells over their rowspan x colspan extent
+    (table_processor_paddlex.py:313-318) — explode(sequence) x 2; empty
+    copies carry no text."""
+    return (
+        cells.withColumn("dr", F.explode(F.sequence(F.lit(0), F.col("rowspan") - 1)))
+        .withColumn("dc", F.explode(F.sequence(F.lit(0), F.col("colspan") - 1)))
+        .select(
+            *KEY,
+            (F.col("row") + F.col("dr")).alias("row"),
+            (F.col("col") + F.col("dc")).alias("col"),
+            F.when((F.col("dr") == 0) & (F.col("dc") == 0), F.col("text"))
+            .otherwise(F.lit(""))
+            .alias("text"),
+        )
+    )
+
+
+def grid_to_row_maps(cells: DataFrame) -> DataFrame:
+    """J5 (second half) + W4: header row = first row with any non-empty
+    cell; every later row becomes an ordered {header -> value} map
+    (table_processor_paddlex.py:320-338)."""
+    w_tbl = Window.partitionBy(*KEY)
+    w_col = Window.partitionBy(*KEY, "col")
+    first_content_row = F.min(F.when(F.col("text") != "", F.col("row"))).over(w_tbl)
+    df = cells.withColumn("hrow", first_content_row).withColumn(
+        "header", F.max(F.when(F.col("row") == F.col("hrow"), F.col("text"))).over(w_col)
+    )
+    entries = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("col").alias("c"),
+                    F.when(
+                        F.col("header").isNull() | (F.col("header") == ""),
+                        F.concat(F.lit("Column_"), "col"),
+                    )
+                    .otherwise(F.col("header"))
+                    .alias("k"),
+                    F.col("text").alias("v"),
+                )
+            )
+        ),
+        lambda s: F.struct(s["k"].alias("key"), s["v"].alias("value")),
+    )
+    return (
+        df.filter(F.col("row") > F.col("hrow"))
+        .groupBy(*KEY, "row")
+        .agg(F.map_from_entries(entries).alias("row_map"))
+    )
+
+
+def header_levels(headers: DataFrame) -> DataFrame:
+    """W3: discretize header y to round(y*10) and dense-rank the levels
+    (table_transformer.py:344-372)."""
+    w = Window.partitionBy(*KEY).orderBy(F.round(F.col("y") * 10).asc())
+    return headers.withColumn("level", F.dense_rank().over(w) - 1)
+
+
+def dominant_angle(contours: DataFrame) -> DataFrame:
+    """A8-A10: per-image skew statistics over contour angles
+    (document_analysis_utils.py:197-204, 241-244, 399-404):
+    area-weighted mean, 36-bin histogram argmax bin center over [-90,90),
+    exact median, stddev."""
+    binned = contours.withColumn(
+        "bin", F.floor((F.col("angle") + 90) / 5).cast("int")
+    )
+    hist = (
+        binned.groupBy("image_id", "bin")
+        .agg(F.count("*").alias("n"))
+        .groupBy("image_id")
+        .agg(F.max_by("bin", F.struct(F.col("n"), -F.col("bin"))).alias("dense_bin"))
+        .select(
+            "image_id", (F.col("dense_bin") * 5 - 90 + 2.5).alias("dense_bin_center")
+        )
+    )
+    stats = contours.groupBy("image_id").agg(
+        F.round(F.sum(F.col("angle") * F.col("area")) / F.sum("area"), 6).alias(
+            "weighted_angle"
+        ),
+        F.round(F.expr("percentile(angle, 0.5)"), 6).alias("median_angle"),
+        F.round(F.coalesce(F.stddev("angle"), F.lit(0.0)), 6).alias("stddev_angle"),
+    )
+    return stats.join(hist, "image_id")

@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 16MB splits: nested-struct parquet decode is the CPU-heavy part
+        # of ingest; 128MB splits leave a 560MB single-file corpus at ~5
+        # scan tasks — starving a 32-core run (measured). Small splits
+        # cost nothing at scale (row-group-aligned reads) and AQE
+        # coalesces downstream.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     return builder.getOrCreate()

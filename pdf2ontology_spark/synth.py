@@ -28,13 +28,23 @@ import pyarrow.parquet as pq
 
 from pdf2ontology_spark import rules
 
-GEN_VERSION = 5  # bump to invalidate cached parquet
+GEN_VERSION = 6  # bump to invalidate cached parquet
 DEFAULT_SEED = 42
 SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
+CHUNK = 5000  # docs per deterministic generation chunk
 
-# docs per scale tag (FIXTURES.md F1 generator parameters);
-# sfxl is the scaling-bench corpus (compute must dominate fixed overheads)
-N_DOCS = {"sf0.001": 200, "sf0.01": 5000, "sf0.1": 50000, "sfxl": 150000, "sfxxl": 600000}
+# docs per scale tag (FIXTURES.md F1 generator parameters); sfb* are the
+# scaling-bench corpora (compute must dominate fixed overheads; goldens
+# skipped — bench tags measure throughput, correctness runs on sf*)
+N_DOCS = {
+    "sf0.001": 200,
+    "sf0.01": 5000,
+    "sf0.1": 50000,
+    "sfxl": 150000,
+    "sfxxl": 600000,
+    "sfb": 2_400_000,
+}
+BENCH_TAGS = {"sfxl", "sfxxl", "sfb"}
 
 PARAMS = [
     ("durchfluss", "l/min"),
@@ -244,11 +254,13 @@ def _make_text_span(rng: random.Random, doc_id: str, org: str):
     return rng.choice(FILLERS), []
 
 
-def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
-    """Returns (doc_rows, golden_triples, org_mentions) as Python lists."""
-    rng = random.Random(seed)
+def _generate_chunk(seed: int, start: int, count: int):
+    """Generate docs [start, start+count) with a chunk-local RNG seeded
+    by (seed, start) — deterministic regardless of how many workers run
+    which chunks, so parallel and sequential generation agree."""
+    rng = random.Random(f"{seed}:{start}")
     docs, goldens, orgs = [], [], []
-    for d in range(n_docs):
+    for d in range(start, start + count):
         doc_id = f"doc_{d:08d}"
         cluster_id = rng.randrange(len(ORG_CLUSTERS))
         cluster = ORG_CLUSTERS[cluster_id]
@@ -312,6 +324,18 @@ def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
     return docs, goldens, orgs
 
 
+def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
+    """Returns (doc_rows, golden_triples, org_mentions) as Python lists —
+    sequential concatenation of the deterministic chunks."""
+    docs, goldens, orgs = [], [], []
+    for s in range(0, n_docs, CHUNK):
+        d, g, o = _generate_chunk(seed, s, min(CHUNK, n_docs - s))
+        docs.extend(d)
+        goldens.extend(g)
+        orgs.extend(o)
+    return docs, goldens, orgs
+
+
 _SPAN_PA = pa.struct(
     [
         ("kind", pa.string()),
@@ -322,71 +346,113 @@ _SPAN_PA = pa.struct(
 )
 
 
-def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED) -> dict:
-    """Generate (once, cached) the synthetic corpus for a scale tag.
+_G_COLS = [
+    "doc_id",
+    "table_id",
+    "subj_name",
+    "subj_type",
+    "predicate",
+    "obj_name",
+    "obj_type",
+    "confidence",
+    "source_sentence",
+    "extraction_method",
+]
 
-    ``tag_or_sf_dir`` may be a testdata dir like /root/testdata/sf0.01 or
-    a bare tag like "sf0.01". Returns dict of parquet paths.
-    """
-    tag = os.path.basename(tag_or_sf_dir.rstrip("/"))
-    n_docs = N_DOCS.get(tag, 200)
-    out = os.path.join(base_dir, tag)
-    paths = {
-        "documents_spans": os.path.join(out, "documents_spans.parquet"),
-        "golden_triples": os.path.join(out, "golden_triples.parquet"),
-        "org_mentions": os.path.join(out, "org_mentions.parquet"),
-    }
-    meta_path = os.path.join(out, "_meta.json")
-    want_meta = {"version": GEN_VERSION, "n_docs": n_docs, "seed": seed}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f) == want_meta and all(os.path.exists(p) for p in paths.values()):
-                return paths
 
-    docs, goldens, orgs = generate_corpus(n_docs, seed)
-    os.makedirs(out, exist_ok=True)
-
-    doc_tbl = pa.table(
+def _doc_table(docs: list) -> pa.Table:
+    return pa.table(
         {
             "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
             "spans": pa.array([d["spans"] for d in docs], pa.list_(_SPAN_PA)),
         }
     )
-    # small row groups so a parquet scan can split (one giant row group
-    # makes the whole file a single Spark task)
-    pq.write_table(doc_tbl, paths["documents_spans"], row_group_size=2048)
 
-    g_cols = [
-        "doc_id",
-        "table_id",
-        "subj_name",
-        "subj_type",
-        "predicate",
-        "obj_name",
-        "obj_type",
-        "confidence",
-        "source_sentence",
-        "extraction_method",
-    ]
-    g_tbl = pa.table(
+
+def _golden_table(goldens: list) -> pa.Table:
+    return pa.table(
         {
             c: pa.array(
                 [g[c] for g in goldens],
                 pa.float64() if c == "confidence" else pa.string(),
             )
-            for c in g_cols
+            for c in _G_COLS
         }
     )
-    pq.write_table(g_tbl, paths["golden_triples"])
 
-    o_tbl = pa.table(
+
+def _org_table(orgs: list) -> pa.Table:
+    return pa.table(
         {
             "doc_id": pa.array([o["doc_id"] for o in orgs], pa.string()),
             "name": pa.array([o["name"] for o in orgs], pa.string()),
             "cluster_id": pa.array([o["cluster_id"] for o in orgs], pa.int32()),
         }
     )
-    pq.write_table(o_tbl, paths["org_mentions"])
+
+
+def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED) -> dict:
+    """Generate (once, cached) the synthetic corpus for a scale tag.
+
+    ``tag_or_sf_dir`` may be a testdata dir like /root/testdata/sf0.01 or
+    a bare tag like "sf0.01". Chunks are generated in parallel processes
+    (deterministic per-chunk seeding) and streamed to ParquetWriters in
+    chunk order — small row groups so Spark scans can split. Bench tags
+    (sfxl/sfxxl/sfb) skip golden generation: they measure throughput;
+    correctness runs on the sf* tags. Returns dict of parquet paths.
+    """
+    tag = os.path.basename(tag_or_sf_dir.rstrip("/"))
+    n_docs = N_DOCS.get(tag, 200)
+    out = os.path.join(base_dir, tag)
+    with_goldens = tag not in BENCH_TAGS
+    paths = {
+        "documents_spans": os.path.join(out, "documents_spans.parquet"),
+        "golden_triples": os.path.join(out, "golden_triples.parquet"),
+        "org_mentions": os.path.join(out, "org_mentions.parquet"),
+    }
+    needed = ["documents_spans"] + (["golden_triples", "org_mentions"] if with_goldens else [])
+    meta_path = os.path.join(out, "_meta.json")
+    want_meta = {"version": GEN_VERSION, "n_docs": n_docs, "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == want_meta and all(os.path.exists(paths[p]) for p in needed):
+                return paths
+
+    os.makedirs(out, exist_ok=True)
+    starts = list(range(0, n_docs, CHUNK))
+    writers: dict[str, pq.ParquetWriter] = {}
+
+    def write(path: str, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return
+        if path not in writers:
+            writers[path] = pq.ParquetWriter(path, tbl.schema)
+        writers[path].write_table(tbl, row_group_size=2048)
+
+    if len(starts) <= 1:
+        chunks = iter([_generate_chunk(seed, 0, n_docs)])
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
+        chunks = pool.map(
+            _generate_chunk,
+            [seed] * len(starts),
+            starts,
+            [min(CHUNK, n_docs - s) for s in starts],
+            chunksize=1,
+        )
+    try:
+        for docs, goldens, orgs in chunks:
+            write(paths["documents_spans"], _doc_table(docs))
+            if with_goldens:
+                write(paths["golden_triples"], _golden_table(goldens))
+                write(paths["org_mentions"], _org_table(orgs))
+    finally:
+        for w in writers.values():
+            w.close()
+        if len(starts) > 1:
+            pool.shutdown()
 
     with open(meta_path, "w") as f:
         json.dump(want_meta, f)

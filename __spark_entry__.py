@@ -550,7 +550,7 @@ FROM cust FULL OUTER JOIN supp ON cust.r_name = supp.r_name""",
         "sessionize": """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-    CASE WHEN epoch(ts) - lag(epoch(ts))
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
          THEN 1
          WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -23,9 +23,12 @@ from pdf2ontology_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _force(df) -> float:
+def _force(make_df) -> float:
+    """Time query CONSTRUCTION + execution: iterative operators (LSH
+    connected components) run driver-side loops during construction, so
+    timing only the final action would under-report them."""
     t0 = time.monotonic()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0
 
 
@@ -57,7 +60,7 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:
-        timings[name] = round(_force(qs[name](spark, SF_DIR)), 3)
+        timings[name] = round(_force(lambda n=name: qs[n](spark, SF_DIR)), 3)
 
     # flagship throughput: triples/sec over the full extraction
     n_triples = entry.q_triples_all(spark, SF_DIR).count()

@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1 analog: per (returnflag, linestatus) pricing rollup."""
+    # compare in the NTZ domain: parquet timestamps are TIMESTAMP_NTZ and
+    # a plain timestamp literal would coerce through the SESSION timezone
+    # (wrong answers if the driver's session is not UTC)
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -46,7 +49,7 @@ def shipping_priority(
     cutoff: str = "1995-03-15",
 ) -> DataFrame:
     """TPC-H Q3 analog: top-10 unshipped orders by revenue."""
-    cut = F.lit(cutoff).cast("timestamp")
+    cut = F.lit(cutoff).cast("timestamp_ntz")
     return (
         customer.filter(F.col("c_mktsegment") == segment)
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -99,9 +102,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     total_value)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lit(gap_minutes * 60)
-    # ts may be TIMESTAMP_NTZ (parquet) — cast via timestamp to epoch
-    # seconds (session TZ is pinned UTC, matching DuckDB's epoch())
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # ts is TIMESTAMP_NTZ (parquet): derive wall-clock epoch seconds from
+    # date/time PARTS — timezone-independent on NTZ (a cast through
+    # TIMESTAMP would coerce via the session timezone and shift results
+    # if the harness session is not UTC; DST hours would corrupt gaps)
+    epoch = (
+        F.unix_date(F.to_date("ts")) * F.lit(86400).cast("long")
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
     boundary = (epoch - F.lag(epoch).over(w) > gap).cast("int")
     sessions = (
         events.withColumn("is_new", F.coalesce(boundary, F.lit(1)))

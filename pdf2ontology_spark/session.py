@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # match the 16MB scan splits: keeps post-shuffle tasks numerous
+        # enough to use all cores on mid-size shuffles (measured win on
+        # the graph job; AQE still coalesces truly tiny stages)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

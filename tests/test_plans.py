@@ -1,0 +1,41 @@
+"""Plan-regression guards: the physical properties that matter at
+100 TB must not silently regress — predicate pushdown reaching scans,
+broadcast on dimension joins, no row-at-a-time Python in core plans."""
+
+import contextlib
+import io
+import re
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_triples_plan_pushdown_and_no_python(spark):
+    plan = plan_of(entry.q_triples_all(spark, SF))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and all(p.strip() for p in pushed), "filters must reach every scan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "core extraction must stay JVM-side"
+    )
+
+
+def test_shipping_priority_broadcasts_and_prunes(spark):
+    plan = plan_of(entry.q_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan, "filtered dims should broadcast"
+    # column pruning: lineitem scan must not read unused columns
+    m = re.search(r"ReadSchema: (struct<l_[^\n]+)", plan)
+    assert m and "l_quantity" not in m.group(1), "lineitem scan should prune l_quantity"
+
+
+def test_media_features_is_arrow_batched(spark):
+    plan = plan_of(entry.q_media_features(spark, SF))
+    assert "MapInPandas" in plan, "media decode must be the Arrow-batched path"
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"

@@ -387,10 +387,10 @@ FROM (SELECT doc_id, spans, [s."offset" FOR s IN spans] AS offs
         "doc_stats": W
         + """
 SELECT doc_id, count(*) AS n_spans,
-  sum(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS n_tables,
-  sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS n_media,
-  sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS n_text,
-  sum(length(text)) AS total_chars
+  CAST(sum(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS BIGINT) AS n_tables,
+  CAST(sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+  CAST(sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM spans GROUP BY doc_id""",
         "reassemble_text": W
         + """
@@ -440,7 +440,7 @@ SELECT p.entity_id,
        max(CASE WHEN p.rk = 1 THEN p.name END) AS canonical_form,
        p.entity_type,
        string_agg(p.name, '|' ORDER BY p.name) AS aliases_joined,
-       sum(p.n) AS mention_count,
+       CAST(sum(p.n) AS BIGINT) AS mention_count,
        max(p.max_conf) AS confidence
 FROM ranked p GROUP BY p.entity_id, p.entity_type""",
         "edges": TP
@@ -482,10 +482,15 @@ SELECT name, entity_type, CAST(0.6 AS DOUBLE) AS confidence, 0 AS auto_created F
 UNION ALL
 SELECT r.name, 'other', CAST(0.7 AS DOUBLE), 1 FROM referenced r
 WHERE r.name NOT IN (SELECT name FROM base)""",
-        # canonical_nodes_lsh / canonical_edges_lsh intentionally omitted:
-        # MinHash-LSH + iterative connected components are not
-        # SQL-expressible (driver records rows-only; pytest checks them
-        # against the golden alias clusters instead).
+        # full algorithm replication incl. the deterministic md5-minhash
+        # family and a recursive-CTE connected components — bit-for-bit
+        # independent recomputation of the LSH canonicalization
+        "canonical_nodes_lsh": o.canonical_nodes_sql(
+            tag, linking.LSH_K, linking.LSH_BANDS, linking.JACCARD_THRESHOLD
+        ),
+        "canonical_edges_lsh": o.canonical_edges_sql(
+            tag, linking.LSH_K, linking.LSH_BANDS, linking.JACCARD_THRESHOLD
+        ),
         "dedup_exact": oracles_data.dedup_exact_sql(),
         "dedup_exact_spans": W
         + """

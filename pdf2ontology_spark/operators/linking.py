@@ -12,19 +12,27 @@ Pipeline (all DataFrame ops):
 1. surfaces: distinct (name, entity_type) with a normalized key
    (graph.canonical_key_col) — value-like types (numeric/date) keep
    exact keys and never enter fuzzy blocking.
-2. candidate pairs = exact-key equality ∪ (MinHash-LSH band match AND
-   char-3-gram Jaccard >= threshold). LSH bounds the self-join; the
-   Jaccard check removes banding false positives.
-3. connected components (components.connected_components) over pairs —
-   iterative self-joins, the north-rule canonicalization.
-4. canonical_nodes/canonical_edges: groupBy component, representative =
+2. exact-key contraction: every (key, entity_type) group is collapsed to
+   its min-surface_id representative with ONE window/groupBy — exact-key
+   pairs form cliques, so contracting them first yields identical
+   connected components while the iterative CC loop only ever sees the
+   (tiny) fuzzy bridge edges between group representatives. This removed
+   the O(group²) exact self-join pairs and most CC work (round-1 profile:
+   canonicalize was the most expensive bench query).
+3. fuzzy pairs between representatives = MinHash-LSH band match AND
+   char-3-gram Jaccard >= threshold. LSH bounds the self-join; the
+   Jaccard check removes banding false positives. Signatures are
+   computed once per distinct key, not once per surface.
+4. connected components (components.connected_components) over the
+   bridge edges — iterative self-joins, the north-rule canonicalization.
+5. canonical_nodes/canonical_edges: groupBy component, representative =
    most frequent surface form; edges remapped via an id -> component
    broadcast-size dimension join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf2ontology_spark.operators import components, graph
@@ -56,23 +64,25 @@ def surfaces(triples: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(surf: DataFrame) -> DataFrame:
-    """(id_a, id_b) candidate links within entity_type.
+def exact_contract(surf: DataFrame) -> DataFrame:
+    """surf + rep_id: min surface_id over each exact (key, entity_type)
+    group. Exact-key candidate pairs are cliques by construction, so this
+    single window aggregation replaces the exact self-join AND shrinks
+    the connected-components input to one node per distinct key."""
+    w = Window.partitionBy("key", "entity_type")
+    return surf.withColumn("rep_id", F.min("surface_id").over(w))
 
-    exact-key pairs: equi-join on (key, entity_type) — cheap blocking.
-    fuzzy pairs: only non-value types; minhash over char-3-grams of the
-    key, banded; verified with exact Jaccard >= threshold.
+
+def candidate_pairs(reps: DataFrame) -> DataFrame:
+    """Fuzzy (id_a, id_b) bridge links between exact-group reps, within
+    entity_type. Only non-value types; minhash over char-3-grams of the
+    key, banded (LSH_BANDS bands of LSH_K/LSH_BANDS rows); band matches
+    verified with exact Jaccard >= threshold.
+
+    ``reps`` needs (surface_id, entity_type, key) — one row per distinct
+    key (the exact-group representative).
     """
-    s = surf.select("surface_id", "entity_type", "key")
-    exact = (
-        s.alias("a")
-        .join(s.alias("b"), ["key", "entity_type"])
-        .filter(F.col("a.surface_id") < F.col("b.surface_id"))
-        .select(
-            F.col("a.surface_id").alias("id_a"), F.col("b.surface_id").alias("id_b")
-        )
-    )
-
+    s = reps.select("surface_id", "entity_type", "key")
     fuzzy_base = s.filter(~F.col("entity_type").isin(graph.VALUE_TYPES)).withColumn(
         "grams", _char_shingles_expr("key")
     )
@@ -121,7 +131,7 @@ def candidate_pairs(surf: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b")
     )
-    return exact.unionByName(verified).distinct()
+    return verified.distinct()
 
 
 def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:
@@ -129,13 +139,19 @@ def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:
 
     Returns {surfaces, mapping, nodes, edges}: mapping is
     (surface_id -> canonical_id); nodes/edges are the canonical graph.
+    Output is identical to running CC over exact ∪ fuzzy surface pairs:
+    component labels are min surface_id, and each group rep IS the min
+    surface_id of its exact group.
     """
-    surf = surfaces(triples).cache()
-    pairs = candidate_pairs(surf)
+    surf = exact_contract(surfaces(triples)).cache()
+    reps = surf.select(
+        F.col("rep_id").alias("surface_id"), "entity_type", "key"
+    ).distinct()
+    pairs = candidate_pairs(reps)
     comp = components.connected_components(pairs, "id_a", "id_b")
     mapping = (
-        surf.join(comp.withColumnRenamed("node", "surface_id"), "surface_id", "left")
-        .withColumn("canonical_id", F.coalesce("component", "surface_id"))
+        surf.join(comp.withColumnRenamed("node", "rep_id"), "rep_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", "rep_id"))
         .select("surface_id", "name", "entity_type", "n", "max_conf", "canonical_id")
     )
     nodes = mapping.groupBy("canonical_id").agg(

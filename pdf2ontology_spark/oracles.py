@@ -197,3 +197,128 @@ mentions AS (
   UNION ALL
   SELECT obj_name, obj_type, confidence FROM triples
 )"""
+
+
+def _canonical_ctes(lsh_k: int, lsh_bands: int, jaccard: float) -> str:
+    """CTE chain replicating operators/linking.py exactly: surfaces ->
+    exact-key groups -> char-3-gram MinHash (md5-based, same seed-prefix
+    scheme) -> LSH bands -> Jaccard-verified bridge pairs -> connected
+    components via a recursive CTE -> surface->canonical_id mapping.
+
+    This is a true independent recomputation — the minhash uses the same
+    deterministic md5('{i}:'||shingle) family, so band collisions (and
+    any banding misses) agree bit-for-bit with the Spark plan.
+    """
+    r = lsh_k // lsh_bands
+    key_sql = (
+        "CASE WHEN entity_type IN ('numeric','date') THEN trim(name) "
+        f"ELSE {normalize_sql('name')} END"
+    )
+    mh_aggs = ",\n    ".join(
+        f"min(substring(md5('{i}:' || shingle), 1, 16)) AS mh_{i}" for i in range(lsh_k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT rep_id, entity_type, {b} AS band, "
+        + "md5("
+        + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(lsh_bands)
+    )
+    return f"""
+surfaces AS MATERIALIZED (
+  SELECT name, entity_type,
+         CAST(count(*) AS BIGINT) AS n, max(confidence) AS max_conf,
+         {key_sql} AS k,
+         sha256(name || {US} || entity_type) AS surface_id
+  FROM mentions GROUP BY name, entity_type),
+grp AS MATERIALIZED (
+  SELECT k, entity_type, min(surface_id) AS rep_id
+  FROM surfaces GROUP BY k, entity_type),
+fuzzy AS MATERIALIZED (
+  SELECT rep_id, entity_type,
+         list_distinct(list_transform(range(1, greatest(length(k) - 2, 1) + 1),
+                       i -> substring(k, CAST(i AS INTEGER), 3))) AS grams
+  FROM grp WHERE entity_type NOT IN ('numeric','date')),
+sh AS (SELECT rep_id, entity_type, unnest(grams) AS shingle FROM fuzzy),
+sig AS MATERIALIZED (
+  SELECT rep_id, entity_type,
+    {mh_aggs}
+  FROM sh GROUP BY rep_id, entity_type),
+bands AS MATERIALIZED (
+{band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.entity_type = b.entity_type AND a.band = b.band AND a.band_key = b.band_key
+  WHERE a.rep_id < b.rep_id),
+verified AS MATERIALIZED (
+  SELECT id_a, id_b FROM cand
+  JOIN fuzzy ga ON ga.rep_id = cand.id_a
+  JOIN fuzzy gb ON gb.rep_id = cand.id_b
+  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+        >= {jaccard}),
+sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified),
+walk AS (
+  SELECT a AS node, a AS lab FROM sym
+  UNION
+  SELECT s.b AS node, w.lab FROM walk w JOIN sym s ON s.a = w.node),
+comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+cmapping AS MATERIALIZED (
+  SELECT s.surface_id, s.name, s.entity_type, s.n, s.max_conf,
+         coalesce(c.component, g.rep_id) AS canonical_id
+  FROM surfaces s
+  JOIN grp g ON g.k = s.k AND g.entity_type = s.entity_type
+  LEFT JOIN comp c ON c.node = g.rep_id)"""
+
+
+def canonical_prefix(tag: str, lsh_k: int, lsh_bands: int, jaccard: float) -> str:
+    """WITH-RECURSIVE prefix ending at the ``cmapping`` CTE."""
+    return (
+        triples_prefix(tag).replace("WITH ", "WITH RECURSIVE ", 1)
+        + ","
+        + mentions_cte()
+        + ","
+        + _canonical_ctes(lsh_k, lsh_bands, jaccard)
+    )
+
+
+def canonical_nodes_sql(tag: str, lsh_k: int, lsh_bands: int, jaccard: float) -> str:
+    return (
+        canonical_prefix(tag, lsh_k, lsh_bands, jaccard)
+        + """,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY n DESC, name ASC) AS rk
+  FROM cmapping)
+SELECT canonical_id,
+       max(CASE WHEN rk = 1 THEN name END) AS canonical_form,
+       max(CASE WHEN rk = 1 THEN entity_type END) AS entity_type,
+       string_agg(DISTINCT name, '|' ORDER BY name) AS aliases_joined,
+       CAST(sum(n) AS BIGINT) AS mention_count,
+       max(max_conf) AS confidence
+FROM ranked GROUP BY canonical_id"""
+    )
+
+
+def canonical_edges_sql(tag: str, lsh_k: int, lsh_bands: int, jaccard: float) -> str:
+    return (
+        canonical_prefix(tag, lsh_k, lsh_bands, jaccard)
+        + f""",
+e AS (
+  SELECT ms.canonical_id AS subject_id, t.predicate,
+         mo.canonical_id AS object_id, t.confidence
+  FROM triples t
+  JOIN cmapping ms ON ms.name = t.subj_name AND ms.entity_type = t.subj_type
+  JOIN cmapping mo ON mo.name = t.obj_name AND mo.entity_type = t.obj_type),
+agg AS (
+  SELECT subject_id, predicate, object_id,
+         CAST(count(*) AS DOUBLE) AS weight, max(confidence) AS confidence
+  FROM e GROUP BY 1, 2, 3)
+SELECT sha256(subject_id || {US} || predicate || {US} || object_id) AS edge_id,
+       subject_id, predicate, object_id, weight, confidence
+FROM agg"""
+    )

@@ -21,6 +21,7 @@ from pdf2ontology_spark.operators import (
     condition,
     dedup,
     graph,
+    grid,
     linking,
     media,
     relational,
@@ -36,6 +37,7 @@ from pdf2ontology_spark.sources import tables
 # corpus parquet exists before any oracle executes
 synth.ensure_synth("sf0.001")
 synth.ensure_synth("sf0.01")
+synth.ensure_detections("sf0.01")
 
 ORACLE_TAG = "sf0.01"
 
@@ -311,6 +313,69 @@ def q_event_type_stats(spark, sf_dir):
     return relational.event_type_stats(tables.load_table(spark, sf_dir, "events"))
 
 
+# ------------------------------------------- grid reconstruction family
+def _grid_assigned(spark, sf_dir):
+    d = tables.load_detections(spark, sf_dir)
+    cells = d.filter(F.col("bucket") == "cell").select(
+        "doc_id", "table_id", F.col("item_id").alias("cell_id"), "x", "y", "w", "h", "text"
+    )
+    return grid.assign_cells(cells, grid.index_bands(d, "row"), grid.index_bands(d, "column")), d
+
+
+def _grid_final(spark, sf_dir):
+    assigned, d = _grid_assigned(spark, sf_dir)
+    spans = d.filter(F.col("bucket") == "spanning_cell").select(
+        "doc_id", "table_id", F.col("item_id").alias("span_id"), "x", "y", "w", "h"
+    )
+    return grid.apply_spanning_cells(assigned, spans)
+
+
+def q_grid_bands(spark, sf_dir):
+    d = tables.load_detections(spark, sf_dir)
+    return grid.index_bands(d, "row").unionByName(grid.index_bands(d, "column")).select(
+        "doc_id", "table_id", "bucket", "item_id", "x", "y", "w", "h", "idx"
+    )
+
+
+def q_grid_assign_cells(spark, sf_dir):
+    assigned, _ = _grid_assigned(spark, sf_dir)
+    return assigned.select("doc_id", "table_id", "cell_id", "row", "col", "text")
+
+
+def q_grid_spanning_cells(spark, sf_dir):
+    return _grid_final(spark, sf_dir).select(
+        "doc_id", "table_id", "row", "col", "text", "cell_type", "rowspan", "colspan"
+    )
+
+
+def q_grid_row_maps(spark, sf_dir):
+    fin = _grid_final(spark, sf_dir).filter(F.col("cell_type") != "empty")
+    maps = grid.grid_to_row_maps(grid.expand_spans(fin))
+    return maps.select(
+        "doc_id",
+        "table_id",
+        "row",
+        F.array_join(
+            F.transform(
+                F.map_entries("row_map"),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            ),
+            "|",
+        ).alias("row_map_str"),
+    )
+
+
+def q_grid_header_levels(spark, sf_dir):
+    d = tables.load_detections(spark, sf_dir)
+    return grid.header_levels(d.filter(F.col("bucket") == "header")).select(
+        "doc_id", "table_id", F.col("item_id").alias("header_id"), "y", "level"
+    )
+
+
+def q_dominant_angle(spark, sf_dir):
+    return grid.dominant_angle(tables.load_contours(spark, sf_dir))
+
+
 # ------------------------------------------------------------- media
 def q_media_features(spark, sf_dir):
     return media.media_features(_spans(spark, sf_dir))
@@ -353,6 +418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "grid_bands": q_grid_bands,
+        "grid_assign_cells": q_grid_assign_cells,
+        "grid_spanning_cells": q_grid_spanning_cells,
+        "grid_row_maps": q_grid_row_maps,
+        "grid_header_levels": q_grid_header_levels,
+        "dominant_angle": q_dominant_angle,
         "media_features": q_media_features,
         "media_stats": q_media_stats,
         "merged_sentences": q_merged_sentences,
@@ -510,6 +581,12 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "quality_score": oracles_data.quality_sql(),
         "token_count": oracles_data.token_count_sql(),
         "doc_fingerprint": oracles_data.fingerprint_sql(),
+        "grid_bands": oracles_data.grid_bands_sql(tag),
+        "grid_assign_cells": oracles_data.grid_assign_sql(tag),
+        "grid_spanning_cells": oracles_data.grid_spanning_sql(tag),
+        "grid_row_maps": oracles_data.grid_row_maps_sql(tag),
+        "grid_header_levels": oracles_data.grid_header_levels_sql(tag),
+        "dominant_angle": oracles_data.dominant_angle_sql(tag),
         "media_features": oracles_data.media_features_sql(tag),
         "media_stats": oracles_data.media_stats_sql(tag),
         "merged_sentences": oracles_data.merged_sentences_sql(tag),

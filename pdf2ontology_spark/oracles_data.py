@@ -386,3 +386,193 @@ SELECT doc_id, count(*) AS n_media, count(*) AS n_ok,
   round(avg(CAST(width AS DOUBLE) * height), 2) AS avg_pixels,
   CAST(count(DISTINCT format) AS BIGINT) AS n_formats
 FROM feats GROUP BY doc_id"""
+
+
+# ------------------------------------------------- grid reconstruction
+# DuckDB replication of operators/grid.py over the detection fixtures
+# (synth.ensure_detections). All coordinates are quarter-grid exact, so
+# centers/distances/overlaps agree bit-for-bit with the Spark plan.
+def _det_path(tag: str) -> str:
+    import os
+
+    from pdf2ontology_spark import synth
+
+    return os.path.join(synth.SYNTH_BASE, tag, "table_detections.parquet")
+
+
+def _contours_path(tag: str) -> str:
+    import os
+
+    from pdf2ontology_spark import synth
+
+    return os.path.join(synth.SYNTH_BASE, tag, "contours.parquet")
+
+
+def _grid_prefix(tag: str) -> str:
+    """dets -> indexed bands -> argmin cell assignment (W1 + J3)."""
+    return f"""
+WITH dets AS MATERIALIZED (SELECT * FROM read_parquet('{_det_path(tag)}')),
+rows_b AS MATERIALIZED (
+  SELECT doc_id, table_id, item_id, x, y, w, h,
+         CAST(row_number() OVER (PARTITION BY doc_id, table_id ORDER BY y, x) - 1
+              AS INTEGER) AS idx
+  FROM dets WHERE bucket = 'row'),
+cols_b AS MATERIALIZED (
+  SELECT doc_id, table_id, item_id, x, y, w, h,
+         CAST(row_number() OVER (PARTITION BY doc_id, table_id ORDER BY x, y) - 1
+              AS INTEGER) AS idx
+  FROM dets WHERE bucket = 'column'),
+cells AS MATERIALIZED (
+  SELECT doc_id, table_id, item_id AS cell_id, x, y, w, h, text
+  FROM dets WHERE bucket = 'cell'),
+rpick AS (
+  SELECT doc_id, table_id, cell_id, idx FROM (
+    SELECT c.doc_id, c.table_id, c.cell_id, b.idx,
+      row_number() OVER (PARTITION BY c.doc_id, c.table_id, c.cell_id
+        ORDER BY abs((c.y + c.h/2) - (b.y + b.h/2)) ASC, b.idx ASC) AS rk
+    FROM cells c JOIN rows_b b ON b.doc_id = c.doc_id AND b.table_id = c.table_id)
+  WHERE rk = 1),
+cpick AS (
+  SELECT doc_id, table_id, cell_id, idx FROM (
+    SELECT c.doc_id, c.table_id, c.cell_id, b.idx,
+      row_number() OVER (PARTITION BY c.doc_id, c.table_id, c.cell_id
+        ORDER BY abs((c.x + c.w/2) - (b.x + b.w/2)) ASC, b.idx ASC) AS rk
+    FROM cells c JOIN cols_b b ON b.doc_id = c.doc_id AND b.table_id = c.table_id)
+  WHERE rk = 1),
+assigned AS MATERIALIZED (
+  SELECT c.doc_id, c.table_id, c.cell_id, c.x, c.y, c.w, c.h, c.text,
+         rp.idx AS rw, cp.idx AS cl
+  FROM cells c
+  JOIN rpick rp ON rp.doc_id = c.doc_id AND rp.table_id = c.table_id
+               AND rp.cell_id = c.cell_id
+  JOIN cpick cp ON cp.doc_id = c.doc_id AND cp.table_id = c.table_id
+               AND cp.cell_id = c.cell_id)"""
+
+
+def _spanning_ctes() -> str:
+    """J2 + A11: overlap theta-join, extents, merged/empty/normal tags."""
+    return """
+spanb AS (
+  SELECT doc_id, table_id, item_id AS span_id, x, y, w, h
+  FROM dets WHERE bucket = 'spanning_cell'),
+covered AS MATERIALIZED (
+  SELECT a.doc_id, a.table_id, a.rw, a.cl, s.span_id
+  FROM assigned a JOIN spanb s
+    ON s.doc_id = a.doc_id AND s.table_id = a.table_id
+  WHERE NOT (a.x + a.w <= s.x OR s.x + s.w <= a.x
+          OR a.y + a.h <= s.y OR s.y + s.h <= a.y)),
+extent AS (
+  SELECT doc_id, table_id, span_id,
+         min(rw) AS r0, max(rw) AS r1, min(cl) AS c0, max(cl) AS c1
+  FROM covered GROUP BY 1, 2, 3),
+tagged AS MATERIALIZED (
+  SELECT cv.doc_id, cv.table_id, cv.rw, cv.cl,
+    CASE WHEN cv.rw = e.r0 AND cv.cl = e.c0 THEN 'merged' ELSE 'empty' END AS cell_type,
+    CAST(e.r1 - e.r0 + 1 AS INTEGER) AS rowspan,
+    CAST(e.c1 - e.c0 + 1 AS INTEGER) AS colspan
+  FROM covered cv JOIN extent e
+    ON e.doc_id = cv.doc_id AND e.table_id = cv.table_id AND e.span_id = cv.span_id),
+gridfinal AS MATERIALIZED (
+  SELECT a.doc_id, a.table_id, a.rw, a.cl, a.text,
+    coalesce(t.cell_type, 'normal') AS cell_type,
+    CASE WHEN t.cell_type = 'merged' THEN t.rowspan ELSE 1 END AS rowspan,
+    CASE WHEN t.cell_type = 'merged' THEN t.colspan ELSE 1 END AS colspan
+  FROM assigned a LEFT JOIN tagged t
+    ON t.doc_id = a.doc_id AND t.table_id = a.table_id
+   AND t.rw = a.rw AND t.cl = a.cl)"""
+
+
+def grid_bands_sql(tag: str = "sf0.01") -> str:
+    return (
+        _grid_prefix(tag)
+        + """
+SELECT doc_id, table_id, 'row' AS bucket, item_id, x, y, w, h, idx FROM rows_b
+UNION ALL
+SELECT doc_id, table_id, 'column', item_id, x, y, w, h, idx FROM cols_b"""
+    )
+
+
+def grid_assign_sql(tag: str = "sf0.01") -> str:
+    return (
+        _grid_prefix(tag)
+        + """
+SELECT doc_id, table_id, cell_id, rw AS "row", cl AS "col", text FROM assigned"""
+    )
+
+
+def grid_spanning_sql(tag: str = "sf0.01") -> str:
+    return (
+        _grid_prefix(tag)
+        + ","
+        + _spanning_ctes()
+        + """
+SELECT doc_id, table_id, rw AS "row", cl AS "col", text, cell_type, rowspan, colspan
+FROM gridfinal"""
+    )
+
+
+def grid_row_maps_sql(tag: str = "sf0.01") -> str:
+    """J5 + W4: scatter over rowspan x colspan, header row = first row
+    with any non-empty cell, later rows -> ordered key=value strings."""
+    return (
+        _grid_prefix(tag)
+        + ","
+        + _spanning_ctes()
+        + """,
+expanded AS MATERIALIZED (
+  SELECT f.doc_id, f.table_id, f.rw + u.dr AS rw, f.cl + v.dc AS cl,
+    CASE WHEN u.dr = 0 AND v.dc = 0 THEN f.text ELSE '' END AS text
+  FROM gridfinal f,
+       unnest(range(0, CAST(f.rowspan AS BIGINT))) AS u(dr),
+       unnest(range(0, CAST(f.colspan AS BIGINT))) AS v(dc)
+  WHERE f.cell_type <> 'empty'),
+hrow AS MATERIALIZED (
+  SELECT doc_id, table_id, min(CASE WHEN text <> '' THEN rw END) AS hr
+  FROM expanded GROUP BY 1, 2),
+hdr AS MATERIALIZED (
+  SELECT e.doc_id, e.table_id, e.cl,
+         max(CASE WHEN e.rw = h.hr THEN e.text END) AS header
+  FROM expanded e JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
+  GROUP BY 1, 2, 3)
+SELECT e.doc_id, e.table_id, CAST(e.rw AS INTEGER) AS "row",
+  string_agg(
+    (CASE WHEN coalesce(d.header, '') = '' THEN 'Column_' || CAST(e.cl AS VARCHAR)
+          ELSE d.header END) || '=' || e.text,
+    '|' ORDER BY e.cl) AS row_map_str
+FROM expanded e
+JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
+JOIN hdr d ON d.doc_id = e.doc_id AND d.table_id = e.table_id AND d.cl = e.cl
+WHERE e.rw > h.hr
+GROUP BY 1, 2, 3"""
+    )
+
+
+def grid_header_levels_sql(tag: str = "sf0.01") -> str:
+    return f"""
+WITH dets AS (SELECT * FROM read_parquet('{_det_path(tag)}'))
+SELECT doc_id, table_id, item_id AS header_id, y,
+  CAST(dense_rank() OVER (PARTITION BY doc_id, table_id ORDER BY round(y * 10)) - 1
+       AS INTEGER) AS level
+FROM dets WHERE bucket = 'header'"""
+
+
+def dominant_angle_sql(tag: str = "sf0.01") -> str:
+    return f"""
+WITH c AS MATERIALIZED (SELECT * FROM read_parquet('{_contours_path(tag)}')),
+b AS (
+  SELECT image_id, CAST(floor((angle + 90) / 5) AS INTEGER) AS bin, count(*) AS n
+  FROM c GROUP BY 1, 2),
+pick AS (
+  SELECT image_id, bin FROM (
+    SELECT image_id, bin,
+           row_number() OVER (PARTITION BY image_id ORDER BY n DESC, bin ASC) AS rk
+    FROM b) WHERE rk = 1),
+stats AS (
+  SELECT image_id,
+    round(sum(angle * area) / sum(area), 6) AS weighted_angle,
+    round(quantile_cont(angle, 0.5), 6) AS median_angle,
+    round(coalesce(stddev(angle), 0.0), 6) AS stddev_angle
+  FROM c GROUP BY image_id)
+SELECT s.image_id, s.weighted_angle, s.median_angle, s.stddev_angle,
+       pick.bin * 5 - 90 + 2.5 AS dense_bin_center
+FROM stats s JOIN pick ON pick.image_id = s.image_id"""

@@ -60,6 +60,17 @@ def load_documents_spans(
     return df
 
 
+def load_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-style bbox rows for the grid-reconstruction family
+    (synth.ensure_detections; bucket = row|column|header|spanning_cell|cell)."""
+    return spark.read.parquet(synth.ensure_detections(sf_dir)["table_detections"])
+
+
+def load_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image contour (angle, area) rows for skew statistics."""
+    return spark.read.parquet(synth.ensure_detections(sf_dir)["contours"])
+
+
 def load_golden_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = synth.ensure_synth(sf_dir)
     return spark.read.parquet(paths["golden_triples"])

@@ -391,6 +391,148 @@ def _org_table(orgs: list) -> pa.Table:
     )
 
 
+# ------------------------------------------------------------------ F5:
+# detection-style inputs for the grid-reconstruction family (bbox rows a
+# layout model would emit — reference table_transformer.py:89-372). All
+# coordinates are multiples of 0.25 so every geometric expression
+# (centers, distances, overlaps) is exact in float64 and the DuckDB
+# oracle reproduces values bit-for-bit.
+DET_VERSION = 1
+N_DET_TABLES = {"sf0.001": 60, "sf0.01": 1500, "sf0.1": 15000}
+N_DET_IMAGES = {"sf0.001": 100, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def _q(rng: random.Random, lo_quarters: int, hi_quarters: int) -> float:
+    """Uniform jitter on the exact quarter grid."""
+    return rng.randint(lo_quarters, hi_quarters) * 0.25
+
+
+def _make_detections(seed: int, n_tables: int) -> list:
+    rng = random.Random(f"det:{seed}")
+    rows = []
+    for t in range(n_tables):
+        doc_id = f"det_{t:06d}"
+        table_id = f"tbl_{t:06d}"
+        R, C = rng.randint(3, 7), rng.randint(2, 5)
+        # ~5% of tables have a fully-empty first row, so W4's
+        # "first row with any non-empty cell" search is load-bearing
+        blank_row0 = rng.random() < 0.05
+        items = []
+
+        def add(bucket, item_id, x, y, w, h, text=""):
+            items.append(
+                {
+                    "doc_id": doc_id, "table_id": table_id, "bucket": bucket,
+                    "item_id": item_id, "x": x, "y": y, "w": w, "h": h, "text": text,
+                }
+            )
+
+        for r in range(R):
+            add("row", f"rowband_{r}", 0.0, r * 10 + _q(rng, -2, 2), C * 20.0, 10.0)
+        for c in range(C):
+            add("column", f"colband_{c}", c * 20 + _q(rng, -2, 2), 0.0, 20.0, R * 10.0)
+        for r in range(R):
+            for c in range(C):
+                if r > 0 and rng.random() < 0.05:
+                    continue  # missing detection -> sparse grid
+                if r == 0:
+                    text = "" if blank_row0 else (f"H{c}" if (c == 0 or rng.random() >= 0.08) else "")
+                else:
+                    text = f"v{r}_{c}" if rng.random() >= 0.1 else ""
+                add(
+                    "cell", f"cell_{r}_{c}",
+                    c * 20 + _q(rng, 0, 8), r * 10 + _q(rng, 0, 6), 16.0, 7.0, text,
+                )
+        if rng.random() < 0.4 and R >= 3:
+            r0 = rng.randint(0, R - 2)
+            r1 = min(R - 1, r0 + rng.randint(0, 1) + (1 if rng.random() < 0.7 else 0))
+            c0 = rng.randint(0, C - 1)
+            c1 = min(C - 1, c0 + rng.randint(0, C - 1 - c0))
+            add(
+                "spanning_cell", "span_0",
+                c0 * 20 + 0.5, r0 * 10 + 0.5,
+                (c1 - c0 + 1) * 20 - 1.0, (r1 - r0 + 1) * 10 - 1.0,
+            )
+        for lvl in range(rng.randint(1, 3)):
+            for _ in range(rng.randint(1, 2)):
+                # y*10 lands at lvl*10 + 0.1..0.4 — never on a .5 rounding
+                # boundary, so Spark/DuckDB round() agree on the W3 bucket
+                add(
+                    "header", f"hdr_{lvl}_{_}",
+                    _q(rng, 0, 20), lvl + rng.randint(1, 4) / 100.0, 100.0, 0.5,
+                )
+        rng.shuffle(items)  # emission order carries no information
+        rows.extend(items)
+    return rows
+
+
+def _make_contours(seed: int, n_images: int) -> list:
+    rng = random.Random(f"contours:{seed}")
+    out = []
+    for i in range(n_images):
+        image_id = f"img_{i:06d}"
+        for _ in range(rng.randint(3, 25)):
+            out.append(
+                {
+                    "image_id": image_id,
+                    # quarter-degree angles and integer areas: the
+                    # area-weighted mean is exact float64 on both engines
+                    "angle": rng.randint(-80, 80) * 0.25,
+                    "area": float(rng.randint(1, 500)),
+                }
+            )
+    return out
+
+
+def ensure_detections(
+    tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED
+) -> dict:
+    """Generate (once, cached) the detection-style fixtures for the grid
+    family: ``table_detections.parquet`` (bbox rows with bucket labels)
+    and ``contours.parquet`` (per-image angle/area pairs)."""
+    tag = os.path.basename(tag_or_sf_dir.rstrip("/"))
+    out = os.path.join(base_dir, tag)
+    paths = {
+        "table_detections": os.path.join(out, "table_detections.parquet"),
+        "contours": os.path.join(out, "contours.parquet"),
+    }
+    meta_path = os.path.join(out, "_meta_det.json")
+    want = {
+        "version": DET_VERSION,
+        "n_tables": N_DET_TABLES.get(tag, 60),
+        "n_images": N_DET_IMAGES.get(tag, 100),
+        "seed": seed,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == want and all(os.path.exists(p) for p in paths.values()):
+                return paths
+    os.makedirs(out, exist_ok=True)
+    dets = _make_detections(seed, want["n_tables"])
+    cont = _make_contours(seed, want["n_images"])
+    det_tbl = pa.table(
+        {
+            c: pa.array(
+                [d[c] for d in dets],
+                pa.float64() if c in ("x", "y", "w", "h") else pa.string(),
+            )
+            for c in ("doc_id", "table_id", "bucket", "item_id", "x", "y", "w", "h", "text")
+        }
+    )
+    cont_tbl = pa.table(
+        {
+            "image_id": pa.array([c["image_id"] for c in cont], pa.string()),
+            "angle": pa.array([c["angle"] for c in cont], pa.float64()),
+            "area": pa.array([c["area"] for c in cont], pa.float64()),
+        }
+    )
+    pq.write_table(det_tbl, paths["table_detections"], row_group_size=4096)
+    pq.write_table(cont_tbl, paths["contours"], row_group_size=4096)
+    with open(meta_path, "w") as f:
+        json.dump(want, f)
+    return paths
+
+
 def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED) -> dict:
     """Generate (once, cached) the synthetic corpus for a scale tag.
 

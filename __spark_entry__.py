@@ -222,6 +222,12 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_cosine_pairs_brute(spark, sf_dir):
+    return dedup.embedding_cosine_pairs_brute(
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 # -------------------------------------------------------- similarity
 def q_ann_brute_topk(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
@@ -412,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_cosine_pairs_brute": q_embedding_cosine_pairs_brute,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
@@ -574,7 +581,8 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "minhash_pairs": oracles_data.minhash_pairs_sql(),
         "ngram_jaccard_pairs": oracles_data.ngram_jaccard_sql(threshold=0.5),
         "simhash": oracles_data.simhash_sql(),
-        "embedding_cosine_pairs": oracles_data.embedding_pairs_sql(threshold=0.45),
+        "embedding_cosine_pairs": oracles_data.embedding_pairs_lsh_sql(threshold=0.45),
+        "embedding_cosine_pairs_brute": oracles_data.embedding_pairs_sql(threshold=0.45),
         "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),
         "ann_lsh_topk": oracles_data.ann_lsh_sql(k=5, n_queries=8),
         "lang_id": oracles_data.lang_id_sql(),

@@ -174,24 +174,68 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
-def embedding_cosine_pairs(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.95,
-) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, brute force.
-
-    The O(n^2) cross join is the correctness baseline; the scale path is
-    similarity.ann_lsh_topk (hyperplane-LSH bucketed). Dot products stay
-    JVM-side via zip_with + aggregate.
-    """
-    v = emb.select(
+def _vec_dim(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes_per_band: int = 4,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
+
+    Candidates come from a banded hyperplane-LSH equi-join
+    (similarity.banded_signatures) — NO CartesianProduct at any scale —
+    then exact cosine reranks via two dimension joins on the candidate
+    ids. Recall is 1-(1-p^b)^L per pair (p = 1 - theta/pi): ~1.0 for
+    true near-dups, deliberately sub-1 far from the threshold; the
+    exhaustive baseline stays available as
+    ``embedding_cosine_pairs_brute``.
+    """
+    from pdf2ontology_spark.operators import similarity
+
+    bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
+    cand = (
+        bb.withColumnRenamed("id", "id_a")
+        .join(bb.withColumnRenamed("id", "id_b"), ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = _vec_dim(emb, id_col, vec_col)
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_cosine_pairs_brute(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exhaustive O(n^2) baseline for embedding near-dup pairs — the
+    recall oracle for the bucketed path; never point it at a full
+    corpus. Dot products stay JVM-side via zip_with + aggregate."""
+    v = _vec_dim(emb, id_col, vec_col)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(

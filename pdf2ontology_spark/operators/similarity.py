@@ -45,10 +45,12 @@ def _plane_component(p: int, dim: Column) -> Column:
     return h / F.lit(2147483648.0) - 1.0
 
 
-def _signature(v: Column, planes: int) -> Column:
-    """planes-bit signature as an int: bit p = 1 iff dot(v, plane_p) > 0."""
+def _band_signature(v: Column, offset: int, nbits: int) -> Column:
+    """nbits-bit signature over planes [offset, offset+nbits): bit j = 1
+    iff dot(v, plane_{offset+j}) > 0."""
     sig = None
-    for p in range(planes):
+    for j in range(nbits):
+        p = offset + j
         proj = F.aggregate(
             F.zip_with(
                 v,
@@ -58,9 +60,43 @@ def _signature(v: Column, planes: int) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sig.cast("int")
+
+
+def _signature(v: Column, planes: int) -> Column:
+    """planes-bit signature as an int: bit p = 1 iff dot(v, plane_p) > 0."""
+    return _band_signature(v, 0, planes)
+
+
+def banded_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 4,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, band_key): ``bands`` independent hyperplane-LSH tables
+    of ``planes_per_band`` bits each. Two vectors at angle theta collide
+    in >= 1 band with probability 1 - (1 - p^b)^L, p = 1 - theta/pi —
+    the multi-table construction that keeps recall high where a single
+    wide signature would shatter near-dups across buckets. Signatures
+    are deterministic (md5 hyperplanes), precomputable and storable as a
+    bucketed table at corpus scale."""
+    base = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_signature(F.col("v"), b * planes_per_band, planes_per_band).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return base.select("id", F.explode(F.array(*structs)).alias("bb")).select(
+        "id", "bb.band", "bb.band_key"
+    )
 
 
 def brute_topk(

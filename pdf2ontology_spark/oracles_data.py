@@ -155,18 +155,49 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
-def _sig_sql(vcol: str) -> str:
-    """planes-bit hyperplane signature of a double list column."""
+def _band_sig_sql(vcol: str, offset: int, nbits: int) -> str:
+    """nbits-bit hyperplane signature over planes [offset, offset+nbits)
+    of a double list column — twin of similarity._band_signature."""
     projs = []
-    for p in range(PLANES):
+    for j in range(nbits):
+        p = offset + j
         plane_md5 = f"md5('{p}:' || CAST(i - 1 AS VARCHAR))"
         comp = f"({hexval(plane_md5, 1, 8)} / 2147483648.0 - 1.0)"
         proj = (
             f"list_aggregate(list_transform(range(1, len({vcol}) + 1),"
             f" i -> {vcol}[i] * {comp}), 'sum')"
         )
-        projs.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+        projs.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
     return "CAST(" + " + ".join(projs) + " AS INTEGER)"
+
+
+def _sig_sql(vcol: str) -> str:
+    """planes-bit hyperplane signature of a double list column."""
+    return _band_sig_sql(vcol, 0, PLANES)
+
+
+def embedding_pairs_lsh_sql(
+    threshold: float = 0.8, planes_per_band: int = 4, bands: int = 8
+) -> str:
+    """Banded hyperplane-LSH candidates + exact cosine rerank — twin of
+    dedup.embedding_cosine_pairs (bucketed)."""
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, "
+        f"{_band_sig_sql('v', b * planes_per_band, planes_per_band)} AS band_key FROM v"
+        for b in range(bands)
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+bb AS MATERIALIZED (
+{band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+SELECT c.id_a, c.id_b, round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+WHERE list_cosine_similarity(va.v, vb.v) >= {threshold} - 1e-9"""
 
 
 def ann_lsh_sql(k: int = 5, n_queries: int = 8) -> str:

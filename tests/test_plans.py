@@ -35,6 +35,13 @@ def test_shipping_priority_broadcasts_and_prunes(spark):
     assert m and "l_quantity" not in m.group(1), "lineitem scan should prune l_quantity"
 
 
+def test_embedding_pairs_has_no_cartesian(spark):
+    plan = plan_of(entry.q_embedding_cosine_pairs(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
+        "near-dup pairs must come from the banded LSH equi-join, not all-pairs"
+    )
+
+
 def test_media_features_is_arrow_batched(spark):
     plan = plan_of(entry.q_media_features(spark, SF))
     assert "MapInPandas" in plan, "media decode must be the Arrow-batched path"

@@ -76,27 +76,39 @@ def merged_text_sentences(spans: DataFrame) -> DataFrame:
     """Cross-span content merge (W5 — the reference's CrossPageContent,
     /root/reference/src/pydantic_models/content_models.py:55-82): a text
     span that does not end with '.' continues in the NEXT text span of
-    the same document; the continuation span is consumed. lag/lead over
-    (doc_id, offset) — one shuffle on doc_id. Single-level merge (the
-    corpus splits a sentence at most once).
+    the same document, transitively — a sentence split across ANY number
+    of consecutive text spans is reassembled (multi-level merge, the
+    session-window idiom): a new run starts after a terminated span (or
+    at the first text span); each run concatenates in reading order.
+    One window + one co-partitioned groupBy, both keyed on doc_id.
 
     Returns (doc_id, offset, sentence) where offset is the first part's.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("offset")
+    starts = F.lag("text").over(w).isNull() | F.lag("text").over(w).endswith(".")
     t = (
         spans.filter(F.col("kind") == "text")
-        .withColumn("next_text", F.lead("text").over(w))
-        .withColumn("prev_text", F.lag("text").over(w))
+        .withColumn(
+            "grp",
+            F.sum(starts.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     )
-    unterminated = ~F.col("text").endswith(".")
-    consumed = F.col("prev_text").isNotNull() & ~F.col("prev_text").endswith(".")
-    sentence = F.when(
-        unterminated & F.col("next_text").isNotNull(),
-        F.concat(F.col("text"), F.lit(" "), F.col("next_text")),
-    ).otherwise(F.col("text"))
-    return t.filter(~consumed).select("doc_id", "offset", sentence.alias("sentence"))
+    return (
+        t.groupBy("doc_id", "grp")
+        .agg(
+            F.min("offset").alias("offset"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("sentence"),
+        )
+        .select("doc_id", "offset", "sentence")
+    )
 
 
 def doc_stats(spans: DataFrame) -> DataFrame:

@@ -122,19 +122,21 @@ table_triples AS (
 
 
 def merged_cte() -> str:
-    """Cross-span merge (W5): a text span not ending in '.' continues in
-    the next text span; the continuation is consumed."""
+    """Cross-span merge (W5, multi-level): runs of consecutive text
+    spans delimited by sentence terminators are concatenated — a new run
+    starts after a span ending with '.' (or at the first text span)."""
     return """
 merged AS (
-  SELECT doc_id,
-    CASE WHEN NOT (text LIKE '%.') AND next_text IS NOT NULL
-         THEN text || ' ' || next_text ELSE text END AS sentence
+  SELECT doc_id, min(off) AS off, string_agg(text, ' ' ORDER BY off) AS sentence
   FROM (
     SELECT doc_id, off, text,
-      lead(text) OVER (PARTITION BY doc_id ORDER BY off) AS next_text,
-      lag(text) OVER (PARTITION BY doc_id ORDER BY off) AS prev_text
-    FROM spans WHERE kind = 'text')
-  WHERE prev_text IS NULL OR prev_text LIKE '%.'
+      sum(CASE WHEN prev_text IS NULL OR prev_text LIKE '%.' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT doc_id, off, text,
+        lag(text) OVER (PARTITION BY doc_id ORDER BY off) AS prev_text
+      FROM spans WHERE kind = 'text'))
+  GROUP BY doc_id, grp
 )"""
 
 

@@ -289,16 +289,9 @@ FROM d"""
 
 def merged_sentences_sql(tag: str = "sf0.01") -> str:
     return f"""
-WITH {oracles.spans_cte(tag).lstrip()}
-SELECT doc_id, off AS "offset",
-  CASE WHEN NOT (text LIKE '%.') AND next_text IS NOT NULL
-       THEN text || ' ' || next_text ELSE text END AS sentence
-FROM (
-  SELECT doc_id, off, text,
-    lead(text) OVER (PARTITION BY doc_id ORDER BY off) AS next_text,
-    lag(text) OVER (PARTITION BY doc_id ORDER BY off) AS prev_text
-  FROM spans WHERE kind = 'text')
-WHERE prev_text IS NULL OR prev_text LIKE '%.'"""
+WITH {oracles.spans_cte(tag).lstrip()},
+{oracles.merged_cte().lstrip()}
+SELECT doc_id, off AS "offset", sentence FROM merged"""
 
 
 def classify_sql(tag: str = "sf0.01") -> str:

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from pdf2ontology_spark import rules
 
-GEN_VERSION = 6  # bump to invalidate cached parquet
+GEN_VERSION = 7  # bump to invalidate cached parquet
 DEFAULT_SEED = 42
 SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
 CHUNK = 5000  # docs per deterministic generation chunk
@@ -308,8 +308,20 @@ def _generate_chunk(seed: int, start: int, count: int):
                     # content_models.py:55-82) — the engine must merge
                     # before pattern extraction (W5 load-bearing)
                     k = rng.choice(ks)
-                    add_span("text", " ".join(words[:k]))
-                    add_span("text", " ".join(words[k:]))
+                    parts = [words[:k], words[k:]]
+                    # ~40% of splits split the tail AGAIN (3+ spans) so
+                    # the multi-level merge is load-bearing, not just
+                    # one continuation
+                    ks2 = [
+                        k2
+                        for k2 in range(k + 2, len(words) - 1)
+                        if not words[k2 - 1].endswith(".")
+                    ]
+                    if rng.random() < 0.4 and ks2:
+                        k2 = rng.choice(ks2)
+                        parts = [words[:k], words[k:k2], words[k2:]]
+                    for part in parts:
+                        add_span("text", " ".join(part))
                 else:
                     add_span("text", text)
             elif kind == "media":

@@ -96,3 +96,35 @@ def test_numeric_location_typing(spark):
     assert classify_value("-10 °C") == "numeric"
     assert classify_value("Kesselhaus") == "location"
     assert classify_value("flüssig") == "other"
+
+
+def test_multi_level_cross_span_merge(spark):
+    """W5: a sentence split across 3+ text spans reassembles (reference
+    CrossPageContent chains, content_models.py:55-82); terminated spans
+    end a run even mid-document."""
+    spans = _spans(
+        spark,
+        [
+            Row(
+                doc_id="d",
+                spans=[
+                    Row(kind="text", text="Die Anlage Pumpe P-100", media_ref="", offset=0),
+                    Row(kind="text", text="befindet sich im", media_ref="", offset=1),
+                    Row(kind="media", text="", media_ref="m://x", offset=2),
+                    Row(kind="text", text="Kesselhaus.", media_ref="", offset=3),
+                    Row(kind="text", text="Eigener Satz.", media_ref="", offset=4),
+                    Row(kind="text", text="Offenes Ende ohne Punkt", media_ref="", offset=5),
+                ],
+            )
+        ],
+    )
+    got = {r.offset: r.sentence for r in segment.merged_text_sentences(spans).collect()}
+    assert got == {
+        0: "Die Anlage Pumpe P-100 befindet sich im Kesselhaus.",
+        4: "Eigener Satz.",
+        5: "Offenes Ende ohne Punkt",
+    }
+    trip = triples.text_triples(spans).collect()
+    assert {(t.subj_name, t.predicate, t.obj_name) for t in trip} == {
+        ("Pumpe P-100", "located_in", "Kesselhaus")
+    }

@@ -132,16 +132,41 @@ def q_nodes(spark, sf_dir):
         F.array_join("aliases", "|").alias("aliases_joined"),
         "mention_count",
         "confidence",
+        F.array_join("mentions", "|").alias("mentions_joined"),
+        "uri",
+        F.to_json("external_ids").alias("external_ids_json"),
     )
 
 
 def q_edges(spark, sf_dir):
-    return graph.edges(_all_triples(spark, sf_dir))
+    return graph.edges(_all_triples(spark, sf_dir)).select(
+        "edge_id",
+        "subject_id",
+        "predicate",
+        "object_id",
+        "weight",
+        "confidence",
+        F.col("negated").cast("int").alias("negated"),
+        F.coalesce("modality", F.lit("")).alias("modality"),
+        F.array_join("evidence", "|").alias("evidence_joined"),
+    )
 
 
 def q_graph_integrity(spark, sf_dir):
     t = _all_triples(spark, sf_dir)
     return graph.integrity_violations(graph.nodes(t), graph.edges(t))
+
+
+def q_ontology_classes(spark, sf_dir):
+    out = graph.ontology_classes(spark, graph.nodes(_all_triples(spark, sf_dir)))
+    return out.select(
+        "class_id",
+        "name",
+        "label",
+        "parent_class",
+        "n_instances",
+        F.array_join("instance_examples", "|").alias("instance_examples_joined"),
+    )
 
 
 def q_auto_create_entities(spark, sf_dir):
@@ -408,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodes": q_nodes,
         "edges": q_edges,
         "graph_integrity": q_graph_integrity,
+        "ontology_classes": q_ontology_classes,
         "auto_create_entities": q_auto_create_entities,
         "canonical_nodes_lsh": q_canonical_nodes_lsh,
         "canonical_edges_lsh": q_canonical_edges_lsh,
@@ -509,30 +535,46 @@ per_surface AS (
   SELECT {eid_m} AS entity_id, entity_type, name,
          count(*) AS n, max(confidence) AS max_conf
   FROM mentions GROUP BY 1, 2, 3),
+ment AS (
+  SELECT {eid_m} AS entity_id, entity_type,
+         array_to_string(list_slice(list_sort(list(DISTINCT source_sentence)), 1, 3),
+                         '|') AS mentions_joined
+  FROM mentions GROUP BY 1, 2),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY entity_id, entity_type
                                ORDER BY n DESC, name ASC) AS rk
-  FROM per_surface)
-SELECT p.entity_id,
+  FROM per_surface),
+base AS (
+  SELECT p.entity_id,
        max(CASE WHEN p.rk = 1 THEN p.name END) AS name,
        max(CASE WHEN p.rk = 1 THEN p.name END) AS canonical_form,
        p.entity_type,
        string_agg(p.name, '|' ORDER BY p.name) AS aliases_joined,
        CAST(sum(p.n) AS BIGINT) AS mention_count,
        max(p.max_conf) AS confidence
-FROM ranked p GROUP BY p.entity_id, p.entity_type""",
+  FROM ranked p GROUP BY p.entity_id, p.entity_type)
+SELECT b.*, m.mentions_joined,
+       'urn:entity:' || b.entity_type || ':' || b.entity_id AS uri,
+       '{{"urn":"urn:entity:' || b.entity_type || ':' || b.entity_id || '"}}'
+         AS external_ids_json
+FROM base b JOIN ment m
+  ON m.entity_id = b.entity_id AND m.entity_type = b.entity_type""",
         "edges": TP
         + f""",
 e AS (
   SELECT {o.entity_id_sql("subj_name", "subj_type")} AS subject_id, predicate,
-         {o.entity_id_sql("obj_name", "obj_type")} AS object_id, confidence
+         {o.entity_id_sql("obj_name", "obj_type")} AS object_id, confidence,
+         source_sentence
   FROM triples),
 agg AS (
   SELECT subject_id, predicate, object_id,
-         CAST(count(*) AS DOUBLE) AS weight, max(confidence) AS confidence
+         CAST(count(*) AS DOUBLE) AS weight, max(confidence) AS confidence,
+         array_to_string(list_slice(list_sort(list(DISTINCT source_sentence)), 1, 3),
+                         '|') AS evidence_joined
   FROM e GROUP BY 1, 2, 3)
 SELECT sha256(subject_id || chr(31) || predicate || chr(31) || object_id) AS edge_id,
-       subject_id, predicate, object_id, weight, confidence
+       subject_id, predicate, object_id, weight, confidence,
+       0 AS negated, '' AS modality, evidence_joined
 FROM agg""",
         "graph_integrity": TP
         + f""",
@@ -544,6 +586,21 @@ endpoints AS (
   UNION ALL SELECT {o.entity_id_sql("obj_name", "obj_type")} FROM triples)
 SELECT DISTINCT entity_id FROM endpoints
 WHERE entity_id NOT IN (SELECT entity_id FROM node_ids)""",
+        "ontology_classes": TP
+        + ","
+        + o.mentions_cte()
+        + f""",
+inst AS (
+  SELECT entity_type,
+         CAST(count(DISTINCT {eid_m}) AS BIGINT) AS n_instances,
+         array_to_string(list_slice(list_sort(list(DISTINCT {eid_m})), 1, 5),
+                         '|') AS instance_examples_joined
+  FROM mentions GROUP BY entity_type),
+dim(name, label, parent_class) AS (VALUES {oracles.ontology_dim_values()})
+SELECT sha256('class:' || d.name) AS class_id, d.name, d.label, d.parent_class,
+       coalesce(i.n_instances, 0) AS n_instances,
+       coalesce(i.instance_examples_joined, '') AS instance_examples_joined
+FROM dim d LEFT JOIN inst i ON i.entity_type = d.name""",
         "auto_create_entities": TP
         + """,
 base AS (

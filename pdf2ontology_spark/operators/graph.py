@@ -49,15 +49,17 @@ def mentions(triples: DataFrame) -> DataFrame:
                     F.col("subj_name").alias("name"),
                     F.col("subj_type").alias("entity_type"),
                     F.col("confidence"),
+                    F.col("source_sentence"),
                 ),
                 F.struct(
                     F.col("obj_name").alias("name"),
                     F.col("obj_type").alias("entity_type"),
                     F.col("confidence"),
+                    F.col("source_sentence"),
                 ),
             )
         ).alias("m")
-    ).select("m.name", "m.entity_type", "m.confidence")
+    ).select("m.name", "m.entity_type", "m.confidence", "m.source_sentence")
 
 
 def entities_distinct(triples: DataFrame) -> DataFrame:
@@ -132,17 +134,30 @@ def nodes(triples: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.max("confidence").alias("max_conf"),
+            # top-3 example mentions; per-surface top-k then re-merge is
+            # distributive, so the two-level aggregation stays exact
+            F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias(
+                "mention_ex"
+            ),
         )
         .withColumn("entity_id", entity_id_col(F.col("name"), F.col("entity_type")))
     )
-    return per_surface.groupBy("entity_id", "entity_type").agg(
+    out = per_surface.groupBy("entity_id", "entity_type").agg(
         F.min_by("name", F.struct((-F.col("n")).alias("nn"), F.col("name"))).alias(
             "canonical_form"
         ),
         F.array_sort(F.collect_set("name")).alias("aliases"),
         F.sum("n").cast("long").alias("mention_count"),
         F.max("max_conf").alias("confidence"),
-    ).select(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mention_ex")))), 1, 3
+        ).alias("mentions"),
+    )
+    # uri / external_ids populate the reference's declared-but-never-set
+    # Entity.uri / Entity.external_ids (knowledge_models.py:47-55) with
+    # real content: a deterministic URN derived from the canonical id
+    uri = F.concat_ws(":", F.lit("urn"), F.lit("entity"), "entity_type", "entity_id")
+    return out.select(
         "entity_id",
         F.col("canonical_form").alias("name"),
         "canonical_form",
@@ -150,6 +165,9 @@ def nodes(triples: DataFrame) -> DataFrame:
         "aliases",
         "mention_count",
         "confidence",
+        "mentions",
+        uri.alias("uri"),
+        F.create_map(F.lit("urn"), uri).alias("external_ids"),
     )
 
 
@@ -190,11 +208,14 @@ def edges(triples: DataFrame) -> DataFrame:
     e = (
         triples.join(subj_dim, ["subj_name", "subj_type"])
         .join(obj_dim, ["obj_name", "obj_type"])
-        .select("subject_id", "predicate", "object_id", "confidence")
+        .select("subject_id", "predicate", "object_id", "confidence", "source_sentence")
     )
     agg = e.groupBy("subject_id", "predicate", "object_id").agg(
         F.count("*").cast("double").alias("weight"),
         F.max("confidence").alias("confidence"),
+        # Relation.evidence (knowledge_models.py:94-97): top-3 distinct
+        # supporting sentences, deterministic (sorted) and size-capped
+        F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias("evidence"),
     )
     return agg.select(
         F.sha2(F.concat_ws(SEP, "subject_id", "predicate", "object_id"), 256).alias(
@@ -205,7 +226,83 @@ def edges(triples: DataFrame) -> DataFrame:
         "object_id",
         "weight",
         "confidence",
+        # negated/modality are declared on the reference Relation model
+        # (knowledge_models.py:86-93) but never set by its extractor; the
+        # schema carries them with the reference defaults
+        F.lit(False).alias("negated"),
+        F.lit(None).cast("string").alias("modality"),
+        "evidence",
     )
+
+
+# --------------------------------------------------------------- ontology
+# The reference declares an OntologyClass model (knowledge_models.py:
+# 148-170: name/label/parent_classes/instances) and a KnowledgeGraph.
+# ontology_classes list but never constructs them; the engine
+# materializes the dimension: one class per reference EntityType
+# (enums.py:28-40), value-like types under a 'value' superclass, all
+# under the 'entity' root. Full per-class instance LISTS would be a
+# scale-killer (millions of ids per class at corpus scale), so the
+# table carries exact counts + top-5 example ids.
+ENTITY_CLASS_PARENTS = {
+    "person": "entity",
+    "organization": "entity",
+    "location": "entity",
+    "date": "value",
+    "product": "entity",
+    "concept": "entity",
+    "numeric": "value",
+    "event": "entity",
+    "technology": "entity",
+    "document": "entity",
+    "other": "entity",
+    "value": "entity",
+    "entity": "",
+}
+
+
+def ontology_class_dim(spark) -> DataFrame:
+    """The (tiny, broadcastable) ontology class dimension."""
+    rows = [
+        (name, name.capitalize(), parent)
+        for name, parent in sorted(ENTITY_CLASS_PARENTS.items())
+    ]
+    dim = spark.createDataFrame(rows, "name string, label string, parent_class string")
+    return dim.withColumn("class_id", F.sha2(F.concat(F.lit("class:"), "name"), 256))
+
+
+def ontology_classes(spark, nodes_df: DataFrame) -> DataFrame:
+    """Class dimension + entity->class inversion stats: exact instance
+    counts and top-5 example entity ids per class. One groupBy over the
+    node table; the class dim joins broadcast."""
+    stats = nodes_df.groupBy("entity_type").agg(
+        F.count("*").cast("long").alias("n_instances"),
+        F.slice(F.array_sort(F.collect_set("entity_id")), 1, 5).alias("instance_examples"),
+    )
+    return (
+        F.broadcast(ontology_class_dim(spark))
+        .join(stats.withColumnRenamed("entity_type", "name"), "name", "left")
+        .select(
+            "class_id",
+            "name",
+            "label",
+            "parent_class",
+            F.coalesce("n_instances", F.lit(0).cast("long")).alias("n_instances"),
+            F.coalesce("instance_examples", F.array().cast("array<string>")).alias(
+                "instance_examples"
+            ),
+        )
+    )
+
+
+def nodes_with_class(nodes_df: DataFrame) -> DataFrame:
+    """entity->class column on the node table via a broadcast dim join
+    (the Entity -> OntologyClass.instances inversion, row-wise)."""
+    spark = nodes_df.sparkSession
+    dim = ontology_class_dim(spark).select(
+        F.col("name").alias("entity_type"), "class_id", "parent_class"
+    )
+    return nodes_df.join(F.broadcast(dim), "entity_type", "left")
 
 
 def integrity_violations(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:

@@ -195,10 +195,23 @@ def entity_id_sql(name: str, etype: str) -> str:
 def mentions_cte() -> str:
     return """
 mentions AS (
-  SELECT subj_name AS name, subj_type AS entity_type, confidence FROM triples
+  SELECT subj_name AS name, subj_type AS entity_type, confidence,
+         source_sentence
+  FROM triples
   UNION ALL
-  SELECT obj_name, obj_type, confidence FROM triples
+  SELECT obj_name, obj_type, confidence, source_sentence FROM triples
 )"""
+
+
+def ontology_dim_values() -> str:
+    """VALUES list for the ontology class dimension — twin of
+    graph.ENTITY_CLASS_PARENTS (import deferred: pyspark-free here)."""
+    from pdf2ontology_spark.operators.graph import ENTITY_CLASS_PARENTS
+
+    return ", ".join(
+        f"('{n}', '{n.capitalize()}', '{p}')"
+        for n, p in sorted(ENTITY_CLASS_PARENTS.items())
+    )
 
 
 def _canonical_ctes(lsh_k: int, lsh_bands: int, jaccard: float) -> str:

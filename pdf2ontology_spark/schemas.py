@@ -10,9 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -98,6 +100,13 @@ NODES = StructType(
         StructField("aliases", ArrayType(StringType()), False),
         StructField("mention_count", LongType(), False),
         StructField("confidence", DoubleType(), False),
+        # Entity.mentions / uri / external_ids parity
+        # (reference knowledge_models.py:35-55): example mentions are
+        # top-3 sorted distinct source sentences; uri is a deterministic
+        # URN over (entity_type, entity_id)
+        StructField("mentions", ArrayType(StringType()), False),
+        StructField("uri", StringType(), False),
+        StructField("external_ids", MapType(StringType(), StringType()), False),
     ]
 )
 
@@ -109,6 +118,13 @@ EDGES = StructType(
         StructField("object_id", StringType(), False),
         StructField("weight", DoubleType(), False),
         StructField("confidence", DoubleType(), False),
+        # Relation.negated / modality / evidence parity (reference
+        # knowledge_models.py:86-97); negated/modality carry the
+        # reference defaults (its extractor never sets them), evidence
+        # is the top-3 sorted distinct supporting sentences
+        StructField("negated", BooleanType(), False),
+        StructField("modality", StringType(), True),
+        StructField("evidence", ArrayType(StringType()), False),
     ]
 )
 

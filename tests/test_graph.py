@@ -62,3 +62,29 @@ def test_auto_create_entities(spark):
     assert out["B"].auto_created is True and out["B"].entity_type == "other"
     assert out["B"].confidence == 0.7  # triplet_extractor.py:289
     assert out["C"].auto_created is True
+
+
+def test_ontology_classes_and_node_class_join(spark):
+    t = _triples(
+        spark,
+        [
+            ("d1", None, "Samson AG", "organization", "produces", "Ventil", "product", 0.8, "s1", "m"),
+            ("d2", None, "Ventil", "product", "related_to", "42 bar", "numeric", 0.6, "s2", "m"),
+        ],
+    )
+    nodes = graph.nodes(t)
+    classes = {r.name: r for r in graph.ontology_classes(spark, nodes).collect()}
+    assert len(classes) == 13  # 11 reference EntityTypes + value + entity
+    assert classes["organization"].n_instances == 1
+    assert classes["numeric"].parent_class == "value"
+    assert classes["value"].parent_class == "entity"
+    assert classes["person"].n_instances == 0
+    with_cls = {r.name: r.class_id for r in graph.nodes_with_class(nodes).collect()}
+    assert with_cls["Ventil"] == classes["product"].class_id
+    # metadata parity columns exist and are populated
+    n = {r.name: r for r in nodes.collect()}
+    assert n["Ventil"].mentions == ["s1", "s2"]
+    assert n["Ventil"].uri.startswith("urn:entity:product:")
+    assert n["Ventil"].external_ids["urn"] == n["Ventil"].uri
+    e = graph.edges(t).collect()[0]
+    assert e.negated is False and e.modality is None

@@ -24,6 +24,7 @@ from pdf2ontology_spark.operators import (
     grid,
     linking,
     media,
+    quarantine,
     relational,
     segment,
     similarity,
@@ -310,6 +311,21 @@ def q_assess_media(spark, sf_dir):
     )
 
 
+def q_preprocessed_media(spark, sf_dir):
+    out = media.apply_actions(condition.assess_media(_spans(spark, sf_dir)))
+    return out.select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "processed_ref",
+        "applied_joined",
+        "n_applied",
+        "rotation_deg_after",
+        "skew_deg_after",
+        F.col("changed").cast("int").alias("changed"),
+    )
+
+
 def q_condition_rollup(spark, sf_dir):
     return condition.condition_rollup(condition.assess_media(_spans(spark, sf_dir)))
 
@@ -342,6 +358,16 @@ def q_sessionize(spark, sf_dir):
 
 def q_event_type_stats(spark, sf_dir):
     return relational.event_type_stats(tables.load_table(spark, sf_dir, "events"))
+
+
+def q_quarantine_accounting(spark, sf_dir):
+    """Input-guard accounting over both guarded sources: every row is
+    either passed or quarantined — the zero is explicit."""
+    sg, sb = quarantine.split_spans(_spans(spark, sf_dir))
+    dg, db = quarantine.split_detections(tables.load_detections(spark, sf_dir))
+    return quarantine.accounting(sg, sb, "spans_guard").unionByName(
+        quarantine.accounting(dg, db, "detections_guard")
+    )
 
 
 # ------------------------------------------- grid reconstruction family
@@ -451,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "quarantine_accounting": q_quarantine_accounting,
         "grid_bands": q_grid_bands,
         "grid_assign_cells": q_grid_assign_cells,
         "grid_spanning_cells": q_grid_spanning_cells,
@@ -462,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_sentences": q_merged_sentences,
         "classify_documents": q_classify_documents,
         "assess_media": q_assess_media,
+        "preprocessed_media": q_preprocessed_media,
         "condition_rollup": q_condition_rollup,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -646,6 +674,32 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "quality_score": oracles_data.quality_sql(),
         "token_count": oracles_data.token_count_sql(),
         "doc_fingerprint": oracles_data.fingerprint_sql(),
+        "quarantine_accounting": W
+        + f"""
+, det AS (SELECT * FROM read_parquet('{oracles_data._det_path(tag)}')),
+sflag AS (
+  SELECT CASE
+    WHEN kind NOT IN ('text','title','header','footer','caption','table','media')
+      THEN 1
+    WHEN off < 0 THEN 1
+    WHEN kind = 'media' AND coalesce(media_ref, '') = '' THEN 1
+    ELSE 0 END AS bad
+  FROM spans),
+dflag AS (
+  SELECT CASE
+    WHEN bucket NOT IN ('row','column','header','spanning_cell','cell') THEN 1
+    WHEN w <= 0 OR h <= 0 THEN 1
+    WHEN x < 0 OR y < 0 THEN 1
+    ELSE 0 END AS bad
+  FROM det)
+SELECT 'spans_guard' AS stage, 'passed' AS status,
+       CAST(count(*) FILTER (bad = 0) AS BIGINT) AS n FROM sflag
+UNION ALL
+SELECT 'spans_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGINT) FROM sflag
+UNION ALL
+SELECT 'detections_guard', 'passed', CAST(count(*) FILTER (bad = 0) AS BIGINT) FROM dflag
+UNION ALL
+SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGINT) FROM dflag""",
         "grid_bands": oracles_data.grid_bands_sql(tag),
         "grid_assign_cells": oracles_data.grid_assign_sql(tag),
         "grid_spanning_cells": oracles_data.grid_spanning_sql(tag),
@@ -657,6 +711,7 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "merged_sentences": oracles_data.merged_sentences_sql(tag),
         "classify_documents": oracles_data.classify_sql(tag),
         "assess_media": oracles_data.assess_media_sql(tag),
+        "preprocessed_media": oracles_data.preprocessed_media_sql(tag),
         "condition_rollup": oracles_data.condition_rollup_sql(tag),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

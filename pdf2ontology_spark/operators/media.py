@@ -70,6 +70,62 @@ def media_features(spans: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=MEDIA_FEATURES_SCHEMA)
 
 
+PREPROCESSED_SCHEMA = (
+    "doc_id string, offset int, media_ref string, processed_ref string, "
+    "applied_joined string, n_applied int, rotation_deg_after int, "
+    "skew_deg_after int, changed boolean"
+)
+
+
+def _apply_stub(media_ref: str, actions: list[str]) -> str:
+    """STUB action apply: real deployments run the cv2/PIL op per action
+    here (image_utils.py:328-481 dispatch). The stub folds each action
+    into a deterministic state token sha256(state ':' action), starting
+    from sha256(media_ref) (the 'bytes identity') — so a row with no
+    actions keeps the ORIGINAL token, i.e. passes through byte-identical,
+    and any applied action provably changes it."""
+    state = hashlib.sha256(media_ref.encode()).hexdigest()
+    for a in actions:
+        state = hashlib.sha256(f"{state}:{a}".encode()).hexdigest()
+    return state
+
+
+def apply_actions(assessed: DataFrame) -> DataFrame:
+    """Consume the condition stage's prioritized action plan — the
+    preprocessing chain's apply pass (document_preprocessing_chain.py:
+    227-261): actions run in plan order inside the Arrow-batched
+    mapInPandas stage; skip-predicate rows (needs_processing=false /
+    empty plan) pass through with the original byte token untouched.
+    rotation/skew are zeroed when their corrective action ran."""
+    cols = assessed.select(
+        "doc_id", "offset", "media_ref", "actions", "skew_deg", "rotation_deg"
+    )
+    n_part = cols.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = cols.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (real impl: image codec / op kernels initialize here, once per
+        # partition, then each batch applies ops vectorized)
+        for pdf in batches:
+            acts = [list(a) for a in pdf["actions"]]
+            out = pdf[["doc_id", "offset", "media_ref"]].copy()
+            out["processed_ref"] = [
+                _apply_stub(r, a) for r, a in zip(pdf["media_ref"], acts)
+            ]
+            out["applied_joined"] = ["|".join(a) for a in acts]
+            out["n_applied"] = [len(a) for a in acts]
+            out["rotation_deg_after"] = [
+                0 if "rotate" in a else r for r, a in zip(pdf["rotation_deg"], acts)
+            ]
+            out["skew_deg_after"] = [
+                0 if "deskew" in a else s for s, a in zip(pdf["skew_deg"], acts)
+            ]
+            out["changed"] = [len(a) > 0 for a in acts]
+            yield out
+
+    return cols.mapInPandas(run_batches, schema=PREPROCESSED_SCHEMA)
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-document media rollup (A2-style aggregate over media)."""
     return features.groupBy("doc_id").agg(

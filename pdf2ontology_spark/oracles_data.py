@@ -600,3 +600,33 @@ stats AS (
 SELECT s.image_id, s.weighted_angle, s.median_angle, s.stddev_angle,
        pick.bin * 5 - 90 + 2.5 AS dense_bin_center
 FROM stats s JOIN pick ON pick.image_id = s.image_id"""
+
+
+def preprocessed_media_sql(tag: str = "sf0.01") -> str:
+    """Action-apply twin of media.apply_actions: fold each planned
+    action into the sha256 state chain; skip rows keep the original
+    byte token (sha256(media_ref)) untouched."""
+    plan_list = """list_filter([
+      CASE WHEN a_rotate THEN 'rotate' END,
+      CASE WHEN a_deskew THEN 'deskew' END,
+      CASE WHEN a_contrast THEN 'enhance_contrast' END,
+      CASE WHEN a_denoise THEN 'denoise' END,
+      CASE WHEN a_sharpen THEN 'sharpen' END], x -> x IS NOT NULL)"""
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},{_cond_metrics()},
+planned AS (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg,
+         CASE WHEN needs_processing THEN {plan_list}
+              ELSE CAST([] AS VARCHAR[]) END AS acts
+  FROM flags)
+SELECT doc_id, off AS "offset", media_ref,
+  list_reduce(list_prepend(sha256(media_ref), acts),
+              (acc, x) -> sha256(acc || ':' || x)) AS processed_ref,
+  coalesce(array_to_string(acts, '|'), '') AS applied_joined,
+  CAST(len(acts) AS INTEGER) AS n_applied,
+  CASE WHEN list_contains(acts, 'rotate') THEN 0 ELSE rotation_deg END
+    AS rotation_deg_after,
+  CASE WHEN list_contains(acts, 'deskew') THEN 0 ELSE skew_deg END
+    AS skew_deg_after,
+  CAST(len(acts) > 0 AS INTEGER) AS changed
+FROM planned"""

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf2ontology_spark.operators import graph, segment, tabulate, triples
+from pdf2ontology_spark.operators import graph, quarantine, segment, tabulate, triples
 from pdf2ontology_spark.sources import tables
 from pdf2ontology_spark.sources.checkpoint import CheckpointStore
 
@@ -67,7 +67,12 @@ def run_kg_pipeline(
             return fn()
         return ckpt.stage(name, fn)
 
-    spans = st("spans", lambda: segment.explode_spans(docs))
+    all_spans = st("spans", lambda: segment.explode_spans(docs))
+    # input guard (F2): invalid spans go to a quarantine side table (with
+    # its own _metrics row under a CheckpointStore) and never throw;
+    # downstream stages see only the good side
+    spans, rejected = quarantine.split_spans(all_spans)
+    bad_spans = st("quarantine_spans", lambda: rejected)
     cells = st("cells", lambda: tabulate.table_cells(spans))
     entries = st("entries", lambda: tabulate.semantic_entries(cells))
     trips = st(
@@ -81,6 +86,7 @@ def run_kg_pipeline(
     return {
         "documents": docs,
         "spans": spans,
+        "quarantine": bad_spans,
         "cells": cells,
         "entries": entries,
         "triples": trips,

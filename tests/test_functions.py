@@ -53,3 +53,30 @@ def test_priority_sorted_actions(spark):
         "actions array<string>",
     ).select(fn.priority_sorted_actions(F.col("actions")).alias("plan"))
     assert df.collect()[0].plan == ["rotate", "crop", "denoise", "sharpen", "unknown_op"]
+
+
+def test_quarantine_split_accounts_for_every_row(spark):
+    """F2: invalid rows never throw and never vanish — they land in the
+    quarantine side with a reason; good + bad == input."""
+    from pyspark.sql import Row
+
+    from pdf2ontology_spark.operators import quarantine
+
+    rows = [
+        Row(doc_id="d", kind="text", text="ok.", media_ref="", offset=0),
+        Row(doc_id="d", kind="blob", text="?", media_ref="", offset=1),  # unknown kind
+        Row(doc_id="d", kind="media", text="", media_ref="", offset=2),  # no media_ref
+        Row(doc_id="d", kind="table", text="[]", media_ref="", offset=-3),  # neg offset
+        Row(doc_id="d", kind="media", text="", media_ref="m://x", offset=4),
+    ]
+    spans = spark.createDataFrame(rows)
+    good, bad = quarantine.split_spans(spans)
+    assert good.count() + bad.count() == len(rows)
+    reasons = {r.offset: r.q_reason for r in bad.collect()}
+    assert reasons == {1: "unknown_kind", 2: "missing_media_ref", -3: "negative_offset"}
+    acct = {(r.stage, r.status): r.n for r in quarantine.accounting(good, bad, "g").collect()}
+    assert acct == {("g", "passed"): 2, ("g", "quarantined"): 3}
+    # the pipeline keeps running on the good side — no exception path
+    from pdf2ontology_spark.operators import segment
+
+    assert segment.doc_stats(good).count() == 1

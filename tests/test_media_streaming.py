@@ -45,3 +45,38 @@ def test_stream_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     time.sleep(0.5)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_apply_actions_passthrough_and_chain(spark):
+    """Skip-predicate rows keep the ORIGINAL byte token (byte-identical
+    pass-through); processed rows fold each planned action into the
+    state chain in plan order."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from pdf2ontology_spark.operators import condition, media
+
+    spans = spark.createDataFrame(
+        [
+            Row(doc_id="d", kind="media", text="", media_ref=f"media://d/{i}.png", offset=i)
+            for i in range(40)
+        ]
+    )
+    assessed = condition.assess_media(spans)
+    out = {r.media_ref: r for r in media.apply_actions(assessed).collect()}
+    planned = {r.media_ref: r for r in assessed.collect()}
+    assert len(out) == 40
+    skipped = [r for r in out.values() if r.n_applied == 0]
+    processed = [r for r in out.values() if r.n_applied > 0]
+    assert skipped and processed, "fixture must exercise both paths"
+    for r in skipped:
+        assert r.processed_ref == hashlib.sha256(r.media_ref.encode()).hexdigest()
+        assert r.changed is False
+    for r in processed:
+        state = hashlib.sha256(r.media_ref.encode()).hexdigest()
+        for a in planned[r.media_ref].actions:
+            state = hashlib.sha256(f"{state}:{a}".encode()).hexdigest()
+        assert r.processed_ref == state and r.changed is True
+        if "rotate" in planned[r.media_ref].actions:
+            assert r.rotation_deg_after == 0

@@ -17,15 +17,59 @@ Scale notes (10^12-node framing):
   diameter; for LSH-blocked entity graphs the diameter IS tiny, so
   min-label propagation does strictly fewer shuffles per round (no
   star-splitting duplication) and wins — documented trade-off;
-- block-local pre-clustering (union-find inside applyInPandas within an
-  LSH band) can shrink the edge list before the global loop; not needed
-  at current scales.
+- partition-local pre-clustering (union-find inside mapInPandas)
+  contracts each partition's edge set to a star forest before the
+  global loop: the loop's input shrinks from |E| edges to at most one
+  edge per node per partition, and intra-partition chains collapse to
+  diameter 2 — at planet scale edges >> nodes, so this is the lever
+  that keeps the iterative joins cheap (``pre_contract=True``).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _local_contract(sym: DataFrame) -> DataFrame:
+    """Union-find within each partition (Arrow-batched; the iterator
+    spans the whole partition, so state accumulates across batches and
+    the star forest is emitted once): every node maps to its
+    partition-local root. Connectivity is exactly preserved — star
+    edges reproduce each partition's components, and cross-partition
+    edges still share their endpoint nodes."""
+
+    def contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # root at the smaller id: keeps the forest deterministic
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = list(parent)
+        yield pd.DataFrame({"a": nodes, "b": [find(n) for n in nodes]})
+
+    return sym.mapInPandas(contract, "a string, b string").filter(
+        F.col("a") != F.col("b")
+    )
 
 
 def connected_components(
@@ -33,6 +77,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) where component is the
     minimum node id in the connected component. Nodes appear iff they
@@ -43,6 +88,12 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if pre_contract:
+        star = _local_contract(sym)
+        sym = (
+            star.unionByName(star.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+        )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

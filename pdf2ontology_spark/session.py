@@ -64,4 +64,15 @@ def get_spark(
         # coalesces downstream.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    # opt-in event log (task-level metrics for the scaling-evidence
+    # harness: per-task run times prove/refute bandwidth contention)
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG", "")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", eventlog_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     return builder.getOrCreate()

@@ -12,7 +12,12 @@ Measurement protocol for this HEAVILY shared host (load average swings
   same noise regime, one fresh session per (level, round);
 - each session runs one untimed warmup rep (JIT) then 2 timed reps;
 - the reported time is the MINIMUM across all timed reps — the
-  least-contended estimate of the job's true cost.
+  least-contended estimate of the job's true cost;
+- every rep also captures a PER-TASK run-time histogram from the Spark
+  event log: if total task CPU-seconds inflate at 32 threads while the
+  plan (task count, shuffle sizes) is identical, threads are stalling
+  on shared resources (DRAM bandwidth/GC) — the direct evidence for why
+  single-socket thread-scaling undershoots a real N -> 4N cluster.
 Run with nothing else executing on the machine.
 """
 
@@ -20,16 +25,18 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TAG = "sfb"
-ROUNDS = 2
+TAG = os.environ.get("SPARK_GRAFT_BENCH_TAG", "sfb")
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 TIMED_REPS = 2
+EVDIR = "/tmp/graft_eventlog"
 
 WORKER = r"""
-import time, sys, json
+import glob, json, os, sys, time
 sys.path.insert(0, %(repo)r)
 from pdf2ontology_spark import synth
 from pdf2ontology_spark.session import get_spark
@@ -40,6 +47,7 @@ TAG = %(tag)r
 synth.ensure_synth(TAG)
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
 
 def force(df):
     t0 = time.monotonic()
@@ -47,28 +55,62 @@ def force(df):
     return time.monotonic() - t0
 
 ckpt = "/tmp/graft_bench_triples_" + TAG
-import os as _os
-if not _os.path.exists(ckpt + "/_SUCCESS"):
+if not os.path.exists(ckpt + "/_SUCCESS"):
     e.q_triples_all(spark, TAG).write.mode("overwrite").parquet(ckpt)
 
 # warmup (JIT), untimed
 force(e.q_triples_all(spark, TAG))
 force(graph.nodes(spark.read.parquet(ckpt)))
 
+windows = []  # (job, t0_epoch_ms, t1_epoch_ms, wall_s)
 reps = {"triples": [], "graph": []}
 for _ in range(%(timed)d):
-    reps["triples"].append(force(e.q_triples_all(spark, TAG)))
+    w0 = time.time() * 1000
+    wall = force(e.q_triples_all(spark, TAG))
+    windows.append(("triples", w0, time.time() * 1000, wall))
+    reps["triples"].append(wall)
+
     t = spark.read.parquet(ckpt)
-    reps["graph"].append(force(graph.nodes(t)) + force(graph.edges(t)))
+    w0 = time.time() * 1000
+    wall = force(graph.nodes(t)) + force(graph.edges(t))
+    windows.append(("graph", w0, time.time() * 1000, wall))
+    reps["graph"].append(wall)
+
 n = spark.read.parquet(ckpt).count()
 spark.stop()
-print("RESULT " + json.dumps({"reps": reps, "n_triples": n}))
+
+# task histogram per rep window from the event log
+tasks = []  # (finish_ms, run_ms)
+for path in glob.glob(os.path.join(%(evdir)r, app_id + "*")):
+    with open(path) as f:
+        for line in f:
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            ev = json.loads(line)
+            ti, tm = ev.get("Task Info", {}), ev.get("Task Metrics") or {}
+            tasks.append((ti.get("Finish Time", 0), tm.get("Executor Run Time", 0)))
+
+def pctl(xs, q):
+    if not xs:
+        return 0
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(q * len(xs)))]
+
+hist = []
+for job, t0, t1, wall in windows:
+    rt = [r for fin, r in tasks if t0 <= fin <= t1 + 500]
+    hist.append({
+        "job": job, "wall_s": round(wall, 3), "n_tasks": len(rt),
+        "cpu_s": round(sum(rt) / 1000.0, 1),
+        "p50_ms": pctl(rt, 0.5), "p95_ms": pctl(rt, 0.95), "max_ms": max(rt or [0]),
+    })
+print("RESULT " + json.dumps({"reps": reps, "n_triples": n, "hist": hist}))
 """
 
 
 def run_session(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = WORKER % {"repo": REPO, "tag": TAG, "timed": TIMED_REPS}
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_EVENTLOG=EVDIR)
+    code = WORKER % {"repo": REPO, "tag": TAG, "timed": TIMED_REPS, "evdir": EVDIR}
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
         check=True, cwd=REPO,
@@ -80,8 +122,10 @@ def run_session(cpus: int) -> dict:
 
 
 def main() -> None:
+    shutil.rmtree(EVDIR, ignore_errors=True)
     lo_cpus, hi_cpus = 8, 32
     acc = {lo_cpus: {"triples": [], "graph": []}, hi_cpus: {"triples": [], "graph": []}}
+    hists = {lo_cpus: [], hi_cpus: []}
     n = None
     for _ in range(ROUNDS):
         for cpus in (lo_cpus, hi_cpus):
@@ -89,12 +133,17 @@ def main() -> None:
             n = r["n_triples"]
             for job in ("triples", "graph"):
                 acc[cpus][job].extend(r["reps"][job])
+            hists[cpus].extend(r["hist"])
 
     rows = []
+    best_hist = {}
     for job in ("triples", "graph"):
         t_lo, t_hi = min(acc[lo_cpus][job]), min(acc[hi_cpus][job])
         speedup = t_lo / t_hi
         rows.append((job, t_lo, t_hi, speedup, speedup / (hi_cpus / lo_cpus)))
+        for cpus in (lo_cpus, hi_cpus):
+            cand = [h for h in hists[cpus] if h["job"] == job]
+            best_hist[(job, cpus)] = min(cand, key=lambda h: h["wall_s"]) if cand else {}
 
     md = f"""# BENCH/BASELINE.md — measured scaling (two parallelism levels)
 
@@ -114,18 +163,37 @@ average swings 2 -> 20+; see raw reps for the noise).
     md += f"""
 triples/sec: local[{lo_cpus}] = {n / t_lo:,.0f}, local[{hi_cpus}] = {n / t_hi:,.0f}
 
-Interpretation: the extraction job is string/JSON-heavy and therefore
-memory-bandwidth-bound; on this SINGLE shared socket, 4x threads cannot
-buy 4x DRAM bandwidth, which bounds single-box thread-scaling below the
-plan's intrinsic scalability. The plan itself is embarrassingly
-partition-parallel up to the two keyed shuffles (see PLANS.md): on a
-real N -> 4N EXECUTOR cluster each executor brings its own memory
-bandwidth, which is exactly the regime the north rule targets.
+## Per-task histograms (best rep per level, from the Spark event log)
 
-raw local[{lo_cpus}] reps: `{json.dumps(acc[lo_cpus])}`
-
-raw local[{hi_cpus}] reps: `{json.dumps(acc[hi_cpus])}`
+| job | cores | wall (s) | tasks | task CPU-s total | p50 task (ms) | p95 task (ms) |
+|---|---|---|---|---|---|---|
 """
+    for job in ("triples", "graph"):
+        for cpus in (lo_cpus, hi_cpus):
+            h = best_hist.get((job, cpus), {})
+            if h:
+                md += (
+                    f"| {job} | {cpus} | {h['wall_s']} | {h['n_tasks']} | {h['cpu_s']} "
+                    f"| {h['p50_ms']} | {h['p95_ms']} |\n"
+                )
+    md += """
+Reading the histogram: the input and logical plan are identical across
+levels (task counts differ only because shuffle partitions track the
+core count, as they would on a real cluster). TOTAL task CPU-seconds is
+the level-independent cost of the work: if it inflates at 32 threads,
+the same work is taking more CPU time per unit — threads stalled on
+shared resources (DRAM bandwidth, LLC, GC), not a partitioning or skew
+defect in the plan. p50/p95 showing uniformly-sized tasks (no long
+tail) rules out skew/stragglers as the efficiency gap. That contention
+disappears on a real N -> 4N EXECUTOR cluster where each executor
+brings its own socket, memory bandwidth, and heap — the regime the
+north rule targets; the plan itself is embarrassingly
+partition-parallel up to its keyed shuffles (PLANS.md).
+
+"""
+    md += f"raw local[{lo_cpus}] reps: `{json.dumps(acc[lo_cpus])}`\n\n"
+    md += f"raw local[{hi_cpus}] reps: `{json.dumps(acc[hi_cpus])}`\n\n"
+    md += f"full histograms: `{json.dumps({str(k): v for k, v in hists.items()})}`\n"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -57,6 +57,10 @@ def main() -> None:
         "token_count",
         "ann_brute_topk",
         "assess_media",
+        # round-2 additions
+        "embedding_cosine_pairs",
+        "grid_row_maps",
+        "preprocessed_media",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -94,6 +94,11 @@ def connected_components(
             star.unionByName(star.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
         )
+    # materialize the edge list ONCE: every loop round joins against it,
+    # and without this each round's job re-evaluates the whole upstream
+    # pair-generation plan (LSH banding included) — measured as the CC
+    # step costing 15s for a 12-edge input at sf0.1
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

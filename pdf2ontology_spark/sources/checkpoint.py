@@ -39,17 +39,27 @@ class CheckpointStore:
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
-    def stage(self, name: str, compute, resume: bool = True) -> DataFrame:
+    def stage(
+        self, name: str, compute, resume: bool = True, lineage_key: str = "doc_id"
+    ) -> DataFrame:
         """Run (or resume) one stage. ``compute`` is a zero-arg callable
-        returning the stage DataFrame."""
+        returning the stage DataFrame. Stages keyed by ``lineage_key``
+        also record per-file lineage rows (see ``_record_lineage``)."""
         path = self._path(name)
         if resume and self.exists(name):
             self._record(name, path, wall_ms=0, reused=True)
             return self.spark.read.parquet(path)
         t0 = time.monotonic()
-        compute().write.mode("overwrite").parquet(path)
+        # 16MB row groups: a row group is the atomic scan-split unit, so
+        # big default blocks (128MB) written at low parallelism would cap
+        # every RESUMED stage's scan parallelism at the writer's file
+        # count — small groups keep checkpoints splittable at any width
+        compute().write.mode("overwrite").option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).parquet(path)
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._record(name, path, wall_ms=wall_ms, reused=False)
+        self._record_lineage(name, path, lineage_key)
         return self.spark.read.parquet(path)
 
     def _record(self, name: str, path: str, wall_ms: int, reused: bool) -> None:
@@ -74,5 +84,39 @@ class CheckpointStore:
         )
         metrics.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
 
+    def _record_lineage(self, name: str, path: str, key: str) -> None:
+        """Per-(key-range, stage) lineage: one row per written FILE with
+        the stage, the covered key range, and the row count — the audit
+        substrate for idempotent resume (which docs does this checkpoint
+        file cover?). Stages whose output has no ``key`` column (e.g.
+        node/edge tables) skip doc lineage; the per-partition _metrics
+        row still covers them. One cheap scan of the fresh checkpoint;
+        on Iceberg this is file-level metadata already kept by the
+        snapshot manifest."""
+        out = self.spark.read.parquet(path)
+        if key not in out.columns:
+            return
+        lineage = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min(key).alias("key_min"),
+                F.max(key).alias("key_max"),
+            )
+            .select(
+                F.lit(name).alias("stage"),
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(key).alias("key"),
+                "file",
+                "n_rows",
+                "key_min",
+                "key_max",
+            )
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_metrics"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))

@@ -81,4 +81,44 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if fmt == "iceberg":
         df.writeTo(path).createOrReplace()
     else:
-        df.write.mode(mode).parquet(path)
+        # 16MB row groups keep the table splittable regardless of the
+        # writer's parallelism (row group = atomic scan-split unit)
+        df.write.mode(mode).option("parquet.block.size", 16 * 1024 * 1024).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> None:
+    """Keyed upsert — the Iceberg ``MERGE INTO`` analog for the parquet
+    sandbox: rows matching on ``key_cols`` are replaced by the update,
+    others are kept, new keys are inserted. Semantics (not mechanics)
+    match MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+    INSERT. The parquet path rewrites via a temp dir + atomic rename —
+    a stand-in for Iceberg's snapshot commit; on Iceberg
+    (SPARK_GRAFT_TABLE_FORMAT=iceberg) it issues the real MERGE and the
+    commit is transactional with no rewrite.
+    """
+    import shutil
+
+    if storage_format() == "iceberg":
+        updates.createOrReplaceTempView("_merge_updates")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        spark.sql(
+            f"MERGE INTO {path} t USING _merge_updates s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        updates.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = existing.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
+        updates
+    )
+    tmp = path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._merge_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -14,13 +14,17 @@ on retry (idempotent downstream thanks to deterministic content ids —
 consumers dedupe on the triple's content hash). On Iceberg the sink
 becomes a MERGE and is exactly-once.
 
-(Stateful follow-ups — windowed dedup, streaming entity linking — would
-use applyInPandasWithState; not needed for reference parity.)
+``stream_dedup_first_seen`` is the stateful extension: streaming
+exact-dedup with applyInPandasWithState — the custom stateful operator
+shape a training-data ingest pipeline needs (drop re-crawled duplicates
+the moment they arrive, across micro-batches and restarts).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from pdf2ontology_spark.operators import segment, tabulate, triples
 from pdf2ontology_spark.schemas import DOCUMENTS
@@ -50,6 +54,63 @@ def stream_triples(
 
     writer = docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stateful streaming exact-dedup: emit each distinct document
+    content hash the FIRST time it is ever seen; duplicates — within a
+    micro-batch, across micro-batches, and across RESTARTS (state lives
+    in the streaming checkpoint) — are dropped.
+
+    Built on ``applyInPandasWithState``: state is the seen-hash set,
+    partitioned by a 2-hex-char hash-prefix bucket (256 groups) so no
+    single group's state grows with the whole corpus and groups spread
+    across executors. At real scale the state store backs onto RocksDB
+    and the bucket width widens with the corpus; re-crawl dedup also
+    usually adds a TTL (state timeout) — both are config, not plan,
+    changes.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(F.to_json(F.struct("spans"))).alias("content_hash")
+    ).withColumn("bucket", F.substring("content_hash", 1, 2))
+
+    def first_seen(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out_ids, out_hashes = [], []
+        for pdf in pdfs:
+            for d, h in zip(pdf["doc_id"], pdf["content_hash"]):
+                if h not in seen:
+                    seen.add(h)
+                    out_ids.append(d)
+                    out_hashes.append(h)
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"doc_id": out_ids, "content_hash": out_hashes})
+
+    deduped = hashed.groupBy("bucket").applyInPandasWithState(
+        first_seen,
+        outputStructType="doc_id string, content_hash string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -56,7 +56,14 @@ def force(df):
 
 ckpt = "/tmp/graft_bench_triples_" + TAG
 if not os.path.exists(ckpt + "/_SUCCESS"):
-    e.q_triples_all(spark, TAG).write.mode("overwrite").parquet(ckpt)
+    # 16MB row groups + 64 output files: a parquet ROW GROUP is the
+    # atomic scan-split unit, so a ckpt written as 8 files x one 95MB
+    # row group (the 8-core session's default layout) caps EVERY
+    # downstream job at 8-way scan parallelism — measured as the entire
+    # round-1 graph-job efficiency gap (0.36)
+    (e.q_triples_all(spark, TAG).repartition(64, "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024 * 1024).parquet(ckpt))
 
 # warmup (JIT), untimed
 force(e.q_triples_all(spark, TAG))

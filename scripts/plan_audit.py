@@ -24,7 +24,10 @@ AUDIT = [
     "edges",
     "canonical_nodes_lsh",
     "minhash_pairs",
+    "embedding_cosine_pairs",
     "ann_lsh_topk",
+    "grid_row_maps",
+    "preprocessed_media",
     "shipping_priority",
     "sessionize",
 ]

@@ -80,3 +80,35 @@ def test_apply_actions_passthrough_and_chain(spark):
         assert r.processed_ref == state and r.changed is True
         if "rotate" in planned[r.media_ref].actions:
             assert r.rotation_deg_after == 0
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates are dropped within a
+    batch, and state survives a RESTART so re-crawled docs are dropped
+    across runs too."""
+    from pyspark.sql import Row
+
+    from pdf2ontology_spark.schemas import DOCUMENTS
+    from pdf2ontology_spark.streaming.incremental import stream_dedup_first_seen
+
+    def doc(i, text):
+        return Row(doc_id=f"d{i}", spans=[Row(kind="text", text=text, media_ref="", offset=0)])
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    a = spark.createDataFrame([doc(0, "alpha."), doc(1, "beta."), doc(2, "alpha.")], DOCUMENTS)
+    a.write.mode("append").parquet(in_dir)
+    q = stream_dedup_first_seen(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(out_dir)
+    # d0/d2 share content -> exactly one of them emitted, plus d1
+    assert out1.count() == 2
+    assert out1.select("content_hash").distinct().count() == 2
+
+    # restart with new files: one true duplicate of batch A, one new doc
+    b = spark.createDataFrame([doc(3, "alpha."), doc(4, "gamma.")], DOCUMENTS)
+    b.write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_first_seen(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 3  # only gamma was new
+    assert out2.select("content_hash").distinct().count() == 3

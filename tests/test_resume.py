@@ -37,3 +37,21 @@ def test_resume_identical(spark, tmp_path):
         r.stage for r in m.filter("NOT reused AND run_id='r2'").select("stage").distinct().collect()
     }
     assert {"nodes", "edges"} <= recomputed
+
+
+def test_lineage_covers_all_docs(spark, tmp_path):
+    """K4: per-(doc-range, stage) lineage — every doc-keyed checkpoint
+    file is accounted for with its covered key range and row count."""
+    from pdf2ontology_spark.plans.pipeline import run_kg_pipeline
+    from pdf2ontology_spark.sources.checkpoint import CheckpointStore
+
+    ckpt = CheckpointStore(spark, str(tmp_path / "ck"), run_id="lineage-test")
+    out = run_kg_pipeline(spark, "/root/testdata/sf0.001", ckpt=ckpt)
+    lin = ckpt.lineage()
+    spans_lineage = lin.filter("stage = 'spans'")
+    assert spans_lineage.count() >= 1
+    total = sum(r.n_rows for r in spans_lineage.collect())
+    assert total == out["spans"].count()
+    # node/edge stages have no doc key -> no lineage rows, metrics only
+    assert lin.filter("stage = 'nodes'").count() == 0
+    assert ckpt.metrics().filter("stage = 'nodes'").count() >= 1

@@ -30,3 +30,21 @@ def test_spans_csv_sink(spark, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == spans.count()
     assert set(back.columns) == {"doc_id", "kind", "offset", "n_chars", "media_ref"}
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """Iceberg MERGE analog: matched keys update, unmatched keys keep,
+    new keys insert; the rewrite is atomic (temp dir + rename)."""
+    from pdf2ontology_spark.sources import tables
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 2, "old")], "k string, v int, tag string"
+    )
+    tables.merge_upsert(spark, path, base, ["k"])
+    upd = spark.createDataFrame(
+        [("b", 20, "new"), ("c", 30, "new")], "k string, v int, tag string"
+    )
+    tables.merge_upsert(spark, path, upd, ["k"])
+    got = {r.k: (r.v, r.tag) for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (1, "old"), "b": (20, "new"), "c": (30, "new")}

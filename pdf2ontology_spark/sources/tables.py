@@ -46,17 +46,22 @@ def load_documents_spans(
     (pdf2ontology_spark.synth; seed=42, cached parquet).
 
     ``repartition`` hash-distributes documents across the shuffle
-    partition count right after the scan: the downstream JSON-parse /
-    regex stages are the expensive part, and without this they inherit
-    the scan's split count — a handful of tasks on a small file set, or
-    skewed splits at scale. One cheap shuffle of nested rows buys full
-    parallelism for every pre-shuffle stage (measured: triples job went
-    from no 8->32-core scaling to near-linear)."""
+    partition count right after the scan — but ONLY when the scan's own
+    split count would under-use the cores (small file sets): the
+    downstream JSON-parse / regex stages are the expensive part and must
+    run wide. When the files already split into >= the shuffle partition
+    count (row groups are small by construction), the repartition would
+    shuffle the ENTIRE nested corpus for nothing — at bench scale that
+    is ~600MB of strings through shuffle disk + DRAM, the exact resource
+    the extraction job is bound by."""
     paths = synth.ensure_synth(sf_dir)
     df = spark.read.parquet(paths["documents_spans"])
     if repartition:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        df = df.repartition(n, "doc_id")
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        size = os.path.getsize(paths["documents_spans"])
+        if size // max_split < n:
+            df = df.repartition(n, "doc_id")
     return df
 
 

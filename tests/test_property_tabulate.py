@@ -87,3 +87,52 @@ def test_random_grids_match_reference_impl(spark):
     assert not mismatches, f"{len(mismatches)} grids diverge; first: " + str(
         next(iter(mismatches.items()))
     )
+
+
+def test_property_multilevel_merge(spark):
+    """Property (W5): splitting sentences at arbitrary non-terminator
+    word boundaries into ANY number of consecutive spans, the merge
+    reconstructs exactly the original sentence sequence. 60 seeded
+    random docs evaluated in one Spark job."""
+    rng = random.Random(7)
+    sentences_pool = [
+        "Die Anlage Pumpe P-100 befindet sich im Kesselhaus.",
+        "Alle Angaben ohne Gewähr.",
+        "Das Modul A enthält B.",
+        "Offenes Ende ohne Punkt",  # unterminated final sentence
+        "Ein Satz. Mit innerem Punkt dazwischen geht weiter.",
+    ]
+    docs, expected = [], {}
+    for d in range(60):
+        sents = [rng.choice(sentences_pool) for _ in range(rng.randint(1, 5))]
+        # an unterminated sentence swallows the following one on merge —
+        # compute the expected merged sequence accordingly
+        merged_expect, acc = [], ""
+        for s in sents:
+            acc = f"{acc} {s}".strip()
+            if acc.endswith("."):
+                merged_expect.append(acc)
+                acc = ""
+        if acc:
+            merged_expect.append(acc)
+        spans, off = [], 0
+        for s in sents:
+            words = s.split(" ")
+            pop = [k for k in range(1, len(words)) if not words[k - 1].endswith(".")]
+            cuts = sorted(rng.sample(pop, k=min(rng.randint(0, 3), len(pop))))
+            parts, prev = [], 0
+            for k in cuts:
+                parts.append(" ".join(words[prev:k])); prev = k
+            parts.append(" ".join(words[prev:]))
+            parts = [p for p in parts if p]
+            for p in parts:
+                spans.append(Row(kind="text", text=p, media_ref="", offset=off)); off += 1
+        doc_id = f"p{d}"
+        docs.append(Row(doc_id=doc_id, spans=spans))
+        expected[doc_id] = merged_expect
+    spans_df = segment.explode_spans(spark.createDataFrame(docs))
+    got: dict = {}
+    for r in segment.merged_text_sentences(spans_df).collect():
+        got.setdefault(r.doc_id, []).append((r.offset, r.sentence))
+    for doc_id, exp in expected.items():
+        assert [s for _, s in sorted(got.get(doc_id, []))] == exp, doc_id

@@ -242,6 +242,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir), "doc_id", "text")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_documents(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(_documents(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     return dedup.embedding_cosine_pairs(
         tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
@@ -469,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_cosine_pairs_brute": q_embedding_cosine_pairs_brute,
         "ann_brute_topk": q_ann_brute_topk,
@@ -666,6 +676,8 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "minhash_pairs": oracles_data.minhash_pairs_sql(),
         "ngram_jaccard_pairs": oracles_data.ngram_jaccard_sql(threshold=0.5),
         "simhash": oracles_data.simhash_sql(),
+        "simhash_pairs": oracles_data.simhash_pairs_sql(max_hamming=3),
+        "dedup_clusters": oracles_data.dedup_clusters_sql(threshold=0.5),
         "embedding_cosine_pairs": oracles_data.embedding_pairs_lsh_sql(threshold=0.45),
         "embedding_cosine_pairs_brute": oracles_data.embedding_pairs_sql(threshold=0.45),
         "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),

@@ -67,9 +67,8 @@ def _local_contract(sym: DataFrame) -> DataFrame:
         nodes = list(parent)
         yield pd.DataFrame({"a": nodes, "b": [find(n) for n in nodes]})
 
-    return sym.mapInPandas(contract, "a string, b string").filter(
-        F.col("a") != F.col("b")
-    )
+    # schema-preserving: node ids keep whatever type the caller uses
+    return sym.mapInPandas(contract, sym.schema).filter(F.col("a") != F.col("b"))
 
 
 def connected_components(

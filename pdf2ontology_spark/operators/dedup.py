@@ -174,6 +174,101 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= k.
+
+    EXACT (not probabilistic) by the pigeonhole principle: the signature
+    splits into ``bands`` equal bit-blocks, and any pair within hamming
+    distance k < bands must agree on at least one whole block — so the
+    block equi-join loses nothing for k <= bands-1. Verification is one
+    bit_count(xor) per candidate. One groupBy + one equi-join at any
+    scale; signatures are storable and incremental.
+    """
+    assert max_hamming <= bands - 1, "pigeonhole guarantee needs k <= bands-1"
+    width = bits // bands
+    sig = simhash(df, id_col, text_col, bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    bb = sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "simhash", "bb.band", "bb.band_key"
+    )
+    a = bb.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "band_key"
+    )
+    b = bb.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
+) -> DataFrame:
+    """End-to-end near-dup clustering with survivor selection — what a
+    training-data pipeline actually executes: MinHash-LSH candidates ->
+    exact-Jaccard verification -> connected components -> per-cluster
+    survivor (min id). Every input doc appears exactly once;
+    is_survivor marks the row to KEEP (singletons keep themselves).
+    Scale shape: banded equi-join for candidates (never all-pairs),
+    shingle joins restricted to candidate ids, iterative CC only over
+    verified duplicate edges (tiny by construction)."""
+    cand = minhash_pairs(df, id_col, text_col, k, bands)
+    sh = shingles(df, id_col, text_col, w)
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    from pdf2ontology_spark.operators import components
+
+    comp = components.connected_components(verified, "id_a", "id_b")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "id"))
+        .withColumn("is_survivor", (F.col("id") == F.col("cluster_id")).cast("int"))
+        .select("id", "cluster_id", "is_survivor")
+    )
+
+
 def _vec_dim(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(
         F.col(id_col).alias("id"),

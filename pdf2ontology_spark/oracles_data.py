@@ -630,3 +630,90 @@ SELECT doc_id, off AS "offset", media_ref,
     AS skew_deg_after,
   CAST(len(acts) > 0 AS INTEGER) AS changed
 FROM planned"""
+
+
+def simhash_pairs_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> str:
+    """Twin of dedup.simhash_pairs: band equi-join over signature
+    bit-blocks (pigeonhole-exact for k <= bands-1) + bit_count verify."""
+    width = SIMHASH_BITS // bands
+    sums = []
+    for b in range(SIMHASH_BITS):
+        digit = hexval("h", 1 + b // 4, 1)
+        bit = f"(({digit} // {2 ** (b % 4)}) % 2)"
+        sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
+    assemble = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    ws = words_sql(text_col)
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, md5(unnest({ws})) AS h FROM {source}),
+sums AS (SELECT id, {", ".join(sums)} FROM toks GROUP BY id),
+sig AS MATERIALIZED (SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM sums),
+bb AS MATERIALIZED ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""
+
+
+def dedup_clusters_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> str:
+    """Twin of dedup.dedup_clusters: MinHash-LSH candidates ->
+    exact-Jaccard verify -> recursive-CTE connected components ->
+    per-cluster min-id survivor."""
+    r = MINHASH_K // LSH_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS band_key FROM msig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE {shingles_cte(source, id_col, text_col).lstrip()},
+msig AS MATERIALIZED (SELECT id, {_mh_aggs()} FROM shingles GROUP BY id),
+mbands AS MATERIALIZED ({band_rows}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mbands a JOIN mbands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id),
+sizes AS MATERIALIZED (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+verified AS MATERIALIZED (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes za ON za.id = i.id_a
+  JOIN sizes zb ON zb.id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (za.n + zb.n - i.inter) >= {threshold}),
+dsym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION SELECT id_b, id_a FROM verified),
+dwalk AS (
+  SELECT a AS node, a AS lab FROM dsym
+  UNION
+  SELECT s.b AS node, w.lab FROM dwalk w JOIN dsym s ON s.a = w.node),
+dcomp AS (SELECT node, min(lab) AS component FROM dwalk GROUP BY node)
+SELECT d.{id_col} AS id,
+       coalesce(c.component, d.{id_col}) AS cluster_id,
+       CAST(d.{id_col} = coalesce(c.component, d.{id_col}) AS INTEGER) AS is_survivor
+FROM {source} d LEFT JOIN dcomp c ON c.node = d.{id_col}"""

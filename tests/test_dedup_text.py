@@ -97,3 +97,16 @@ def test_quality_and_fingerprint_deterministic(spark, docs):
     assert all(0.0 <= v <= 1.0 for v in q1.values())
     f = {r.id: r.fingerprint for r in text.fingerprint(docs, "doc_id", "text").collect()}
     assert f["d1"] == f["d2"] and f["d1"] != f["d4"]
+
+
+def test_simhash_pairs_and_clusters(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 0  # identical docs
+    clusters = {r.id: r for r in
+                dedup.dedup_clusters(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert clusters["d1"].cluster_id == clusters["d2"].cluster_id
+    survivors = {r.id for r in clusters.values() if r.is_survivor == 1}
+    # exactly one survivor per cluster; every doc assigned
+    assert len(survivors) == len({r.cluster_id for r in clusters.values()})
+    assert len(clusters) == docs.count()

@@ -450,6 +450,10 @@ def q_media_stats(spark, sf_dir):
     return media.media_stats(media.media_features(_spans(spark, sf_dir)))
 
 
+def q_frame_samples(spark, sf_dir):
+    return media.frame_samples(_spans(spark, sf_dir), interval_s=2, max_frames=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "segment_spans": q_segment_spans,
@@ -496,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_angle": q_dominant_angle,
         "media_features": q_media_features,
         "media_stats": q_media_stats,
+        "frame_samples": q_frame_samples,
         "merged_sentences": q_merged_sentences,
         "classify_documents": q_classify_documents,
         "assess_media": q_assess_media,
@@ -720,6 +725,7 @@ SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGI
         "dominant_angle": oracles_data.dominant_angle_sql(tag),
         "media_features": oracles_data.media_features_sql(tag),
         "media_stats": oracles_data.media_stats_sql(tag),
+        "frame_samples": oracles_data.frame_samples_sql(tag),
         "merged_sentences": oracles_data.merged_sentences_sql(tag),
         "classify_documents": oracles_data.classify_sql(tag),
         "assess_media": oracles_data.assess_media_sql(tag),

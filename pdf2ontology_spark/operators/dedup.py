@@ -283,25 +283,29 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes_per_band: int = 4,
+    planes_per_band: int = 8,
     bands: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
 
-    Candidates come from a banded hyperplane-LSH equi-join
-    (similarity.banded_signatures) — NO CartesianProduct at any scale —
-    then exact cosine reranks via two dimension joins on the candidate
-    ids. Recall is 1-(1-p^b)^L per pair (p = 1 - theta/pi): ~1.0 for
-    true near-dups, deliberately sub-1 far from the threshold; the
-    exhaustive baseline stays available as
+    Candidates come from a banded hyperplane-LSH equi-join with 1-bit
+    MULTI-PROBE (similarity.banded_signatures / probe_signatures) — NO
+    CartesianProduct at any scale, and the 8-bit band keys keep buckets
+    at n/256 so candidate volume stays near-linear (a 4-bit key without
+    probing had only 16 buckets per band: O(n^2/16) candidates — a
+    measured scale flaw at 50k vectors). Per-band match probability is
+    P(hamming <= 1) = p^b + b*p^(b-1)(1-p), p = 1 - theta/pi; across L
+    bands recall is ~1.0 for true near-dups. Exact cosine reranks via
+    two dimension joins; the exhaustive baseline stays available as
     ``embedding_cosine_pairs_brute``.
     """
     from pdf2ontology_spark.operators import similarity
 
     bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
+    probed = similarity.probe_signatures(bb, planes_per_band)
     cand = (
         bb.withColumnRenamed("id", "id_a")
-        .join(bb.withColumnRenamed("id", "id_b"), ["band", "band_key"])
+        .join(probed.withColumnRenamed("id", "id_b"), ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -126,6 +126,50 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
     return cols.mapInPandas(run_batches, schema=PREPROCESSED_SCHEMA)
 
 
+def frame_samples(spans: DataFrame, interval_s: int = 2, max_frames: int = 32) -> DataFrame:
+    """Video/animation frame-sampling plumbing: one row per sampled
+    frame with a deterministic timestamp and an addressable frame_ref.
+
+    The sampling SCHEDULE is pure JVM expressions (explode over a
+    sequence — no Python in the fan-out); only the media duration is a
+    clearly-marked sha256-derived STUB (no codecs in this container; a
+    real deployment probes the container header in the same
+    mapInPandas stage as the decode). ``max_frames`` caps the fan-out so
+    a pathological 10h asset cannot explode a partition."""
+    h = F.sha2(F.col("media_ref"), 256)
+    duration_s = (
+        F.conv(F.substring(h, 25, 3), 16, 10).cast("int") % 600 + 1
+    )  # STUB: 1..600s derived from the ref hash
+    media = (
+        spans.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .withColumn("duration_s", duration_s)
+        .withColumn(
+            "n_frames",
+            F.least(
+                (F.col("duration_s") / interval_s).cast("int") + 1, F.lit(max_frames)
+            ),
+        )
+    )
+    return media.select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "duration_s",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "duration_s",
+        "frame_idx",
+        (F.col("frame_idx") * interval_s).alias("t_s"),
+        F.concat_ws("#", "media_ref", F.col("frame_idx").cast("string")).alias(
+            "frame_ref"
+        ),
+    )
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Per-document media rollup (A2-style aggregate over media)."""
     return features.groupBy("doc_id").agg(

@@ -76,6 +76,23 @@ def _signature(v: Column, planes: int, dim: int) -> Column:
     return _band_signature(v, 0, planes, dim)
 
 
+def probe_signatures(bb: DataFrame, planes_per_band: int) -> DataFrame:
+    """Multi-probe expansion: each (band, band_key) entry additionally
+    emits every 1-bit flip of its key. Joining exact keys on one side
+    against probed keys on the other catches all pairs within hamming
+    distance 1 per band — recall of a coarse 2^(b-1)-bucket table at the
+    candidate volume of a fine 2^b-bucket one (the standard multi-probe
+    LSH trade: more probe entries, far fewer bucket collisions)."""
+    flips = F.array(
+        F.col("band_key"),
+        *[
+            F.col("band_key").bitwiseXOR(F.lit(1 << j)).alias(f"f{j}")
+            for j in range(planes_per_band)
+        ],
+    )
+    return bb.select("id", "band", F.explode(flips).alias("band_key"))
+
+
 def banded_signatures(
     emb: DataFrame,
     id_col: str = "vec_id",

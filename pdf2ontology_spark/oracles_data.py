@@ -177,14 +177,17 @@ def _sig_sql(vcol: str) -> str:
 
 
 def embedding_pairs_lsh_sql(
-    threshold: float = 0.8, planes_per_band: int = 4, bands: int = 8
+    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 8
 ) -> str:
-    """Banded hyperplane-LSH candidates + exact cosine rerank — twin of
-    dedup.embedding_cosine_pairs (bucketed)."""
+    """Banded hyperplane-LSH candidates with 1-bit multi-probe + exact
+    cosine rerank — twin of dedup.embedding_cosine_pairs (bucketed)."""
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT id, {b} AS band, "
         f"{_band_sig_sql('v', b * planes_per_band, planes_per_band)} AS band_key FROM v"
         for b in range(bands)
+    )
+    probes = ", ".join(
+        ["band_key"] + [f"xor(band_key, {1 << j})" for j in range(planes_per_band)]
     )
     return f"""
 WITH v AS MATERIALIZED (
@@ -192,9 +195,11 @@ WITH v AS MATERIALIZED (
   FROM embeddings),
 bb AS MATERIALIZED (
 {band_selects}),
+probed AS MATERIALIZED (
+  SELECT id, band, unnest([{probes}]) AS band_key FROM bb),
 cand AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bb a JOIN bb b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+  FROM bb a JOIN probed b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
 SELECT c.id_a, c.id_b, round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
 FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
 WHERE list_cosine_similarity(va.v, vb.v) >= {threshold} - 1e-9"""
@@ -717,3 +722,19 @@ SELECT d.{id_col} AS id,
        coalesce(c.component, d.{id_col}) AS cluster_id,
        CAST(d.{id_col} = coalesce(c.component, d.{id_col}) AS INTEGER) AS is_survivor
 FROM {source} d LEFT JOIN dcomp c ON c.node = d.{id_col}"""
+
+
+def frame_samples_sql(tag: str = "sf0.01", interval_s: int = 2, max_frames: int = 32) -> str:
+    """Twin of media.frame_samples (stub duration from the ref hash)."""
+    dur = f"({hexval('sha256(media_ref)', 25, 3)} % 600 + 1)"
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+m AS (
+  SELECT doc_id, off, media_ref, CAST({dur} AS INTEGER) AS duration_s,
+         least(CAST(floor({dur} / {interval_s}.0) AS INTEGER) + 1, {max_frames}) AS n_frames
+  FROM spans WHERE kind = 'media')
+SELECT doc_id, off AS "offset", media_ref, duration_s,
+       CAST(u.frame_idx AS INTEGER) AS frame_idx,
+       CAST(u.frame_idx * {interval_s} AS INTEGER) AS t_s,
+       media_ref || '#' || CAST(u.frame_idx AS VARCHAR) AS frame_ref
+FROM m, unnest(range(0, CAST(n_frames AS BIGINT))) AS u(frame_idx)"""

@@ -24,6 +24,8 @@ AUDIT = [
     "edges",
     "canonical_nodes_lsh",
     "minhash_pairs",
+    "dedup_clusters",
+    "simhash_pairs",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
     "grid_row_maps",

@@ -24,6 +24,7 @@ from pdf2ontology_spark.operators import (
     grid,
     linking,
     media,
+    ner,
     quarantine,
     relational,
     segment,
@@ -295,6 +296,10 @@ def q_merged_sentences(spark, sf_dir):
     return segment.merged_text_sentences(_spans(spark, sf_dir))
 
 
+def q_ner_mentions(spark, sf_dir):
+    return ner.ner_mentions(_spans(spark, sf_dir))
+
+
 def q_classify_documents(spark, sf_dir):
     doc_text = segment.reassemble_text(_spans(spark, sf_dir)).select(
         "doc_id", F.col("document_text").alias("text")
@@ -502,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "merged_sentences": q_merged_sentences,
+        "ner_mentions": q_ner_mentions,
         "classify_documents": q_classify_documents,
         "assess_media": q_assess_media,
         "preprocessed_media": q_preprocessed_media,
@@ -727,6 +733,7 @@ SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGI
         "media_stats": oracles_data.media_stats_sql(tag),
         "frame_samples": oracles_data.frame_samples_sql(tag),
         "merged_sentences": oracles_data.merged_sentences_sql(tag),
+        "ner_mentions": oracles_data.ner_mentions_sql(tag),
         "classify_documents": oracles_data.classify_sql(tag),
         "assess_media": oracles_data.assess_media_sql(tag),
         "preprocessed_media": oracles_data.preprocessed_media_sql(tag),

@@ -1,0 +1,63 @@
+"""Batched NER mention detection (north-rule stage list) — the
+deterministic gazetteer + surface-pattern form of the reference's
+LLM-driven entity recognition (triplet_extractor.py:450-520 prompts the
+model for typed mentions; this engine recognizes them with vectorized
+expressions so the stage is JVM-side and oracle-checkable).
+
+Detectors (all run in ONE pass over the merged sentence stream):
+- organization: legal-suffix surface pattern (Name + AG/GmbH/Ltd/KG ...),
+  the same convention graph.normalize_name_col strips when linking;
+- location: exact gazetteer (rules.LOCATIONS);
+- product: model-number surface pattern (Name + letter-digit code or
+  'Typ NNN').
+
+Output: one row per (sentence, matched surface) with the entity type,
+1-based char offset of the FIRST occurrence, and the pattern confidence.
+regexp_extract_all keeps extraction vectorized; char offsets come from
+locate() on the matched surface (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import rules
+from pdf2ontology_spark.operators import segment
+
+ORG_RE = r"([A-ZÄÖÜ][\w]+(?: [A-ZÄÖÜ][\w]+)* (?:AG|GmbH|Ltd|KG|A\.G\.|G\.m\.b\.H\.|Limited))"
+PRODUCT_RE = r"([A-ZÄÖÜ][a-zäöü]+(?: (?:Typ )?[A-Z]+-?[0-9]+)+)"
+
+
+def ner_mentions(spans: DataFrame) -> DataFrame:
+    """text spans -> cross-span merge -> typed mention rows.
+
+    Returns (doc_id, offset, sentence, name, entity_type, char_pos,
+    confidence); offset is the first span of the merged sentence, so a
+    mention split across spans is still found once.
+    """
+    sents = segment.merged_text_sentences(spans)
+    org = F.regexp_extract_all("sentence", F.lit(ORG_RE), 1)
+    prod = F.regexp_extract_all("sentence", F.lit(PRODUCT_RE), 1)
+    loc = F.filter(
+        F.array(*[F.lit(loc) for loc in rules.LOCATIONS]),
+        lambda x: F.col("sentence").contains(x),
+    )
+    typed = F.concat(
+        F.transform(org, lambda m: F.struct(m.alias("name"), F.lit("organization").alias("entity_type"))),
+        F.transform(loc, lambda m: F.struct(m.alias("name"), F.lit("location").alias("entity_type"))),
+        F.transform(prod, lambda m: F.struct(m.alias("name"), F.lit("product").alias("entity_type"))),
+    )
+    return (
+        sents.select("doc_id", "offset", "sentence", F.explode(typed).alias("m"))
+        .select(
+            "doc_id",
+            "offset",
+            "sentence",
+            F.col("m.name").alias("name"),
+            F.col("m.entity_type").alias("entity_type"),
+            F.expr("instr(sentence, m.name)").cast("int").alias("char_pos"),
+            F.lit(rules.PATTERN_CONFIDENCE).alias("confidence"),
+        )
+        .distinct()
+    )

@@ -738,3 +738,34 @@ SELECT doc_id, off AS "offset", media_ref, duration_s,
        CAST(u.frame_idx * {interval_s} AS INTEGER) AS t_s,
        media_ref || '#' || CAST(u.frame_idx AS VARCHAR) AS frame_ref
 FROM m, unnest(range(0, CAST(n_frames AS BIGINT))) AS u(frame_idx)"""
+
+
+def ner_mentions_sql(tag: str = "sf0.01") -> str:
+    """Twin of operators/ner.py: gazetteer + surface patterns over the
+    merged sentence stream (RE2 and Java agree on these patterns: no
+    lookaround, no backrefs, explicit ASCII+umlaut classes)."""
+    from pdf2ontology_spark.operators.ner import ORG_RE, PRODUCT_RE
+    from pdf2ontology_spark import rules
+
+    locs = ", ".join(f"('{x}')" for x in rules.LOCATIONS)
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+{oracles.merged_cte().lstrip()},
+org_m AS (
+  SELECT doc_id, off, sentence,
+         unnest(regexp_extract_all(sentence, '{ORG_RE}', 1)) AS name,
+         'organization' AS entity_type
+  FROM merged),
+prod_m AS (
+  SELECT doc_id, off, sentence,
+         unnest(regexp_extract_all(sentence, '{PRODUCT_RE}', 1)) AS name,
+         'product' AS entity_type
+  FROM merged),
+locs(name) AS (VALUES {locs}),
+loc_m AS (
+  SELECT m.doc_id, m.off, m.sentence, l.name, 'location' AS entity_type
+  FROM merged m JOIN locs l ON instr(m.sentence, l.name) > 0)
+SELECT DISTINCT doc_id, off AS "offset", sentence, name, entity_type,
+       CAST(instr(sentence, name) AS INTEGER) AS char_pos,
+       CAST({rules.PATTERN_CONFIDENCE} AS DOUBLE) AS confidence
+FROM (SELECT * FROM org_m UNION ALL SELECT * FROM loc_m UNION ALL SELECT * FROM prod_m)"""

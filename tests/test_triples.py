@@ -128,3 +128,24 @@ def test_multi_level_cross_span_merge(spark):
     assert {(t.subj_name, t.predicate, t.obj_name) for t in trip} == {
         ("Pumpe P-100", "located_in", "Kesselhaus")
     }
+
+
+def test_ner_mentions_typed(spark):
+    from pdf2ontology_spark.operators import ner
+
+    spans = _spans(
+        spark,
+        [
+            Row(
+                doc_id="d",
+                spans=[
+                    Row(kind="text", text="Samson AG liefert Pumpe P-100.", media_ref="", offset=0),
+                    Row(kind="text", text="Die Anlage befindet sich im Kesselhaus.", media_ref="", offset=1),
+                ],
+            )
+        ],
+    )
+    got = {(r.name, r.entity_type): r.char_pos for r in ner.ner_mentions(spans).collect()}
+    assert got[("Samson AG", "organization")] == 1
+    assert got[("Pumpe P-100", "product")] == 19
+    assert ("Kesselhaus", "location") in got

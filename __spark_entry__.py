@@ -702,15 +702,18 @@ GROUP BY 1 HAVING count(*) >= 2""",
 , det AS (SELECT * FROM read_parquet('{oracles_data._det_path(tag)}')),
 sflag AS (
   SELECT CASE
+    WHEN kind IS NULL THEN 1
     WHEN kind NOT IN ('text','title','header','footer','caption','table','media')
       THEN 1
-    WHEN off < 0 THEN 1
+    WHEN off IS NULL OR off < 0 THEN 1
     WHEN kind = 'media' AND coalesce(media_ref, '') = '' THEN 1
     ELSE 0 END AS bad
   FROM spans),
 dflag AS (
   SELECT CASE
+    WHEN bucket IS NULL THEN 1
     WHEN bucket NOT IN ('row','column','header','spanning_cell','cell') THEN 1
+    WHEN w IS NULL OR h IS NULL OR x IS NULL OR y IS NULL THEN 1
     WHEN w <= 0 OR h <= 0 THEN 1
     WHEN x < 0 OR y < 0 THEN 1
     ELSE 0 END AS bad

@@ -25,8 +25,16 @@ from pyspark.sql import functions as F
 from pdf2ontology_spark import rules
 from pdf2ontology_spark.operators import segment
 
-ORG_RE = r"([A-ZÄÖÜ][\w]+(?: [A-ZÄÖÜ][\w]+)* (?:AG|GmbH|Ltd|KG|A\.G\.|G\.m\.b\.H\.|Limited))"
-PRODUCT_RE = r"([A-ZÄÖÜ][a-zäöü]+(?: (?:Typ )?[A-Z]+-?[0-9]+)+)"
+# explicit ASCII+umlaut classes: \w is ASCII-only in both Java regex and
+# RE2, so 'Müller AG' would silently never match through \w
+_W = "A-Za-zÄÖÜäöüß0-9_"
+ORG_RE = (
+    rf"([A-ZÄÖÜ][{_W}]+(?: [A-ZÄÖÜ][{_W}]+)* "
+    r"(?:AG|GmbH|Ltd|KG|A\.G\.|G\.m\.b\.H\.|Limited))"
+)
+# model-number forms: 'Pumpe P-100' (letter code) OR 'Ventil Typ 3241'
+# ('Typ' + bare digits — the letter code must be optional there)
+PRODUCT_RE = rf"([A-ZÄÖÜ][a-zäöü]+(?: Typ [0-9]+| [A-Z]+-?[0-9]+)+)"
 
 
 def ner_mentions(spans: DataFrame) -> DataFrame:
@@ -39,9 +47,15 @@ def ner_mentions(spans: DataFrame) -> DataFrame:
     sents = segment.merged_text_sentences(spans)
     org = F.regexp_extract_all("sentence", F.lit(ORG_RE), 1)
     prod = F.regexp_extract_all("sentence", F.lit(PRODUCT_RE), 1)
-    loc = F.filter(
-        F.array(*[F.lit(loc) for loc in rules.LOCATIONS]),
-        lambda x: F.col("sentence").contains(x),
+    # gazetteer hits need WORD BOUNDARIES: bare contains() would emit
+    # 'Halle 3' inside 'Halle 34' or 'Werk Nord' inside 'Werk Nordost'
+    loc = F.concat(
+        *[
+            F.when(
+                F.col("sentence").rlike(rf"\b{loc}\b"), F.array(F.lit(loc))
+            ).otherwise(F.array().cast("array<string>"))
+            for loc in rules.LOCATIONS
+        ]
     )
     typed = F.concat(
         F.transform(org, lambda m: F.struct(m.alias("name"), F.lit("organization").alias("entity_type"))),

@@ -29,9 +29,14 @@ def _split(df: DataFrame, reason: Column) -> tuple[DataFrame, DataFrame]:
 
 
 def span_guard_reason() -> Column:
-    """First failed input-hint invariant, NULL if the span is valid."""
+    """First failed input-hint invariant, NULL if the span is valid.
+    NULL inputs get explicit arms: a bare ``col < 0`` or ``isin`` check
+    evaluates to NULL for NULL inputs — i.e. "not flagged" — and the bad
+    row would sail through as valid."""
     return (
-        F.when(~F.col("kind").isin(SPAN_KINDS), F.lit("unknown_kind"))
+        F.when(F.col("kind").isNull(), F.lit("null_kind"))
+        .when(~F.col("kind").isin(SPAN_KINDS), F.lit("unknown_kind"))
+        .when(F.col("offset").isNull(), F.lit("null_offset"))
         .when(F.col("offset") < 0, F.lit("negative_offset"))
         .when(
             (F.col("kind") == "media") & (F.coalesce("media_ref", F.lit("")) == ""),
@@ -48,7 +53,13 @@ def detection_guard_reason() -> Column:
     """Detection-bbox validity (absolute coords: positive extent,
     known bucket — region_detector.py:215-234 semantics)."""
     return (
-        F.when(~F.col("bucket").isin(DET_BUCKETS), F.lit("unknown_bucket"))
+        F.when(F.col("bucket").isNull(), F.lit("null_bucket"))
+        .when(~F.col("bucket").isin(DET_BUCKETS), F.lit("unknown_bucket"))
+        .when(
+            F.col("w").isNull() | F.col("h").isNull() | F.col("x").isNull()
+            | F.col("y").isNull(),
+            F.lit("null_geometry"),
+        )
         .when((F.col("w") <= 0) | (F.col("h") <= 0), F.lit("degenerate_box"))
         .when((F.col("x") < 0) | (F.col("y") < 0), F.lit("negative_origin"))
     )

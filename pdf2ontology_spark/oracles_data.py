@@ -134,7 +134,7 @@ WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)
 SELECT a.id AS id_a, b.id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM v a JOIN v b ON a.id < b.id
-WHERE list_cosine_similarity(a.v, b.v) >= {threshold} - 1e-9"""
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold} - 1e-9"""
 
 
 def ann_brute_sql(k: int = 5, n_queries: int = 8) -> str:
@@ -202,7 +202,7 @@ cand AS MATERIALIZED (
   FROM bb a JOIN probed b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
 SELECT c.id_a, c.id_b, round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
 FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
-WHERE list_cosine_similarity(va.v, vb.v) >= {threshold} - 1e-9"""
+WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= {threshold} - 1e-9"""
 
 
 def ann_lsh_sql(k: int = 5, n_queries: int = 8) -> str:
@@ -764,7 +764,8 @@ prod_m AS (
 locs(name) AS (VALUES {locs}),
 loc_m AS (
   SELECT m.doc_id, m.off, m.sentence, l.name, 'location' AS entity_type
-  FROM merged m JOIN locs l ON instr(m.sentence, l.name) > 0)
+  FROM merged m JOIN locs l
+    ON regexp_matches(m.sentence, '\\b' || l.name || '\\b'))
 SELECT DISTINCT doc_id, off AS "offset", sentence, name, entity_type,
        CAST(instr(sentence, name) AS INTEGER) AS char_pos,
        CAST({rules.PATTERN_CONFIDENCE} AS DOUBLE) AS confidence

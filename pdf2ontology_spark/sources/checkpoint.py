@@ -119,4 +119,13 @@ class CheckpointStore:
         return self.spark.read.parquet(os.path.join(self.root, "_metrics"))
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+        """Empty (typed) frame when no doc-keyed stage has written yet —
+        unlike _metrics, _lineage only exists after a fresh keyed write."""
+        path = os.path.join(self.root, "_lineage")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [],
+                "stage string, run_id string, key string, file string, "
+                "n_rows long, key_min string, key_max string",
+            )
+        return self.spark.read.parquet(path)

@@ -98,10 +98,12 @@ def merge_upsert(
     sandbox: rows matching on ``key_cols`` are replaced by the update,
     others are kept, new keys are inserted. Semantics (not mechanics)
     match MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
-    INSERT. The parquet path rewrites via a temp dir + atomic rename —
-    a stand-in for Iceberg's snapshot commit; on Iceberg
-    (SPARK_GRAFT_TABLE_FORMAT=iceberg) it issues the real MERGE and the
-    commit is transactional with no rewrite.
+    INSERT. The parquet commit is two renames, which is NOT atomic —
+    it is CRASH-RECOVERABLE instead: a crash between the renames leaves
+    the previous table under ``._merge_old``, and the next call (or
+    read) restores it before proceeding, so no committed data is ever
+    silently lost. On Iceberg (SPARK_GRAFT_TABLE_FORMAT=iceberg) the
+    real MERGE runs and the snapshot commit is truly transactional.
     """
     import shutil
 
@@ -113,6 +115,14 @@ def merge_upsert(
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
         return
+    tmp = path.rstrip("/") + "._merge_tmp"
+    old = path.rstrip("/") + "._merge_old"
+    # crash recovery: a previous merge died between its two renames
+    if not os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        os.path.join(old, "_SUCCESS")
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(old, path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         updates.write.mode("overwrite").parquet(path)
         return
@@ -120,9 +130,7 @@ def merge_upsert(
     merged = existing.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
         updates
     )
-    tmp = path.rstrip("/") + "._merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._merge_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

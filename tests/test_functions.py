@@ -74,6 +74,14 @@ def test_quarantine_split_accounts_for_every_row(spark):
     assert good.count() + bad.count() == len(rows)
     reasons = {r.offset: r.q_reason for r in bad.collect()}
     assert reasons == {1: "unknown_kind", 2: "missing_media_ref", -3: "negative_offset"}
+    # NULL inputs must be flagged, not sail through as "not flagged"
+    null_rows = spark.createDataFrame(
+        [Row(doc_id="d", kind=None, text="x", media_ref="", offset=9),
+         Row(doc_id="d", kind="text", text="x", media_ref="", offset=None)],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    _, nbad = quarantine.split_spans(null_rows)
+    assert {r.q_reason for r in nbad.collect()} == {"null_kind", "null_offset"}
     acct = {(r.stage, r.status): r.n for r in quarantine.accounting(good, bad, "g").collect()}
     assert acct == {("g", "passed"): 2, ("g", "quarantined"): 3}
     # the pipeline keeps running on the good side — no exception path

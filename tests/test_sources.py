@@ -48,3 +48,16 @@ def test_merge_upsert_semantics(spark, tmp_path):
     tables.merge_upsert(spark, path, upd, ["k"])
     got = {r.k: (r.v, r.tag) for r in spark.read.parquet(path).collect()}
     assert got == {"a": (1, "old"), "b": (20, "new"), "c": (30, "new")}
+
+    # crash recovery: simulate dying between the two commit renames
+    import os
+    import shutil
+
+    old_dir = path + "._merge_old"
+    shutil.move(path, old_dir)  # table vanished mid-commit, backup present
+    upd2 = spark.createDataFrame([("d", 40, "new2")], "k string, v int, tag string")
+    tables.merge_upsert(spark, path, upd2, ["k"])
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    # previous data restored from the backup, new key merged in
+    assert got2 == {"a": 1, "b": 20, "c": 30, "d": 40}
+    assert not os.path.exists(old_dir)

@@ -149,3 +149,26 @@ def test_ner_mentions_typed(spark):
     assert got[("Samson AG", "organization")] == 1
     assert got[("Pumpe P-100", "product")] == 19
     assert ("Kesselhaus", "location") in got
+
+
+def test_ner_typ_products_umlauts_and_boundaries(spark):
+    from pdf2ontology_spark.operators import ner
+
+    spans = _spans(
+        spark,
+        [
+            Row(
+                doc_id="d",
+                spans=[
+                    Row(kind="text", text="Das Ventil Typ 3241 ist Teil von Regler R-20.", media_ref="", offset=0),
+                    Row(kind="text", text="Müller AG liefert Teile für Halle 34.", media_ref="", offset=1),
+                ],
+            )
+        ],
+    )
+    got = {(r.name, r.entity_type) for r in ner.ner_mentions(spans).collect()}
+    assert ("Ventil Typ 3241", "product") in got      # 'Typ' + bare digits
+    assert ("Regler R-20", "product") in got
+    assert ("Müller AG", "organization") in got       # umlaut interior
+    # 'Halle 3' must NOT fire inside 'Halle 34' (word boundary)
+    assert ("Halle 3", "location") not in got

@@ -101,6 +101,13 @@ def semantic_entries(cells: DataFrame) -> DataFrame:
             ),
         )
         .withColumn(
+            "has_opts",
+            F.sum(
+                F.when((F.col("row") == 0) & (F.col("col") >= 1), 1).otherwise(0)
+            ).over(w_tbl)
+            > 0,
+        )
+        .withColumn(
             "row_header",
             F.coalesce(F.max(F.when(F.col("col") == 0, F.col("text"))).over(w_row), F.lit("")),
         )
@@ -133,19 +140,31 @@ def semantic_entries(cells: DataFrame) -> DataFrame:
             (F.col("n_marker") == 1) & (F.col("n_other_nonempty") == 0),
             F.when(
                 marker,
-                F.array(
-                    entry(F.lit("value"), F.coalesce("header", F.lit(""))),
-                    entry(
-                        F.lit("notes"),
-                        F.concat(F.lit(rules.OPTION_NOTES_PREFIX), F.col("options")),
+                # the notes entry exists only when the table HAS a header
+                # row to select from (has_opts); a marked row in a
+                # headerless table still yields its value entry
+                F.when(
+                    F.col("has_opts"),
+                    F.array(
+                        entry(F.lit("value"), F.coalesce("header", F.lit(""))),
+                        entry(
+                            F.lit("notes"),
+                            F.concat(F.lit(rules.OPTION_NOTES_PREFIX), F.col("options")),
+                        ),
                     ),
-                ),
+                ).otherwise(F.array(entry(F.lit("value"), F.coalesce("header", F.lit(""))))),
             ).otherwise(F.array().cast(T.ArrayType(kv))),
         )
         .otherwise(
             F.array(
                 entry(
-                    F.coalesce("header", F.concat(F.lit("Column_"), F.col("col"))),
+                    # '' headers are missing headers: the reference emits
+                    # every empty grid cell as text '', so a NULL-only
+                    # fallback would never fire on reference-shaped data
+                    F.when(
+                        F.col("header").isNull() | (F.col("header") == ""),
+                        F.concat(F.lit("Column_"), F.col("col")),
+                    ).otherwise(F.col("header")),
                     F.col("text"),
                 )
             )

@@ -15,8 +15,11 @@ from pyspark.sql import functions as F
 EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
 DE_STOP = ["der", "die", "das", "und", "ist", "im", "für", "von", "mit", "den"]
 
-# BPE-ish pre-tokenizer: letter runs | digit runs | single other non-space
-TOKEN_RE = r"[a-zA-Zäöüß]+|[0-9]+|[^a-zA-Zäöüß0-9\s]"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other non-space.
+# Uppercase umlauts are letters too — without ÄÖÜ every capitalized German
+# noun ('Über', 'Änderung') split into extra tokens and counted as
+# punctuation, systematically skewing the metrics for German documents.
+TOKEN_RE = r"[a-zA-ZäöüßÄÖÜ]+|[0-9]+|[^a-zA-ZäöüßÄÖÜ0-9\s]"
 
 
 def _words(text: Column) -> Column:
@@ -50,12 +53,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     0.3*length_score + 0.2*word_len_score + 0.3*stopword_score +
     0.2*(1 - punct_ratio), each component clamped — the weighted-score
     pattern of document_analysis_utils.py:467-473."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = _words(t)
     n_chars = F.length(t)
     n_words = F.size(words)
     stop_ratio = _stop_hits(words, EN_STOP + DE_STOP) / F.greatest(n_words, F.lit(1))
-    punct = F.length(F.regexp_replace(t, r"[a-zA-Zäöüß0-9\s]", ""))
+    punct = F.length(F.regexp_replace(t, r"[a-zA-ZäöüßÄÖÜ0-9\s]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     avg_wlen = (
         F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
@@ -84,7 +87,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, ws_tokens, bpe_tokens): whitespace count + BPE-ish regex
     pre-tokenizer count (the standard cheap token estimators)."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
     bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
     return df.select(

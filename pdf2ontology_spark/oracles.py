@@ -95,7 +95,8 @@ entries AS (
     AND g.cc >= 1 AND g.txt IN {m}
   UNION ALL
   SELECT g.doc_id, g.table_id, g.r, rs.row_header,
-         coalesce(g.header, 'Column_' || CAST(g.cc AS VARCHAR)), g.txt
+         CASE WHEN coalesce(g.header, '') = ''
+              THEN 'Column_' || CAST(g.cc AS VARCHAR) ELSE g.header END, g.txt
   FROM grid g JOIN rowstats rs ON rs.doc_id = g.doc_id AND rs.table_id = g.table_id AND rs.r = g.r
   WHERE g.r >= 1 AND g.cc >= 1 AND g.ncols <> 2
     AND NOT (rs.n_marker = 1 AND rs.n_other = 0)

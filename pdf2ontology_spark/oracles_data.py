@@ -245,20 +245,20 @@ FROM hits"""
 
 
 def quality_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
-    ws = words_sql(text_col)
+    ws = words_sql(f"coalesce({text_col}, '')")
     both = _stop_list(EN_STOP + DE_STOP)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, {text_col} AS t, {ws} AS words FROM {source}),
+  SELECT {id_col} AS id, coalesce({text_col}, '') AS t, {ws} AS words FROM {source}),
 m AS (
   SELECT id,
     length(t) AS n_chars,
     len(words) AS n_words,
     len(list_filter(words, x -> list_contains({both}, x)))
       / CAST(greatest(len(words), 1) AS DOUBLE) AS stop_ratio,
-    length(regexp_replace(t, '[a-zA-Zäöüß0-9\\s]', '', 'g'))
+    length(regexp_replace(t, '[a-zA-ZäöüßÄÖÜ0-9\\s]', '', 'g'))
       / CAST(greatest(length(t), 1) AS DOUBLE) AS punct_ratio,
-    list_aggregate(list_transform(words, x -> length(x)), 'sum')
+    coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)
       / CAST(greatest(len(words), 1) AS DOUBLE) AS avg_wlen
   FROM base)
 SELECT id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
@@ -274,9 +274,9 @@ FROM m"""
 def token_count_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""
 SELECT {id_col} AS id,
-  CAST(len(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '')) AS BIGINT)
+  CAST(len(list_filter(string_split_regex(coalesce({text_col}, ''), '\\s+'), x -> x <> '')) AS BIGINT)
     AS ws_tokens,
-  CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+  CAST(len(regexp_extract_all(coalesce({text_col}, ''), '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens
 FROM {source}"""
 
 

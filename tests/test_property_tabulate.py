@@ -41,11 +41,14 @@ def ref_entries(cells: list[dict]) -> set:
         elif n_marker == 1 and n_other == 0:
             m = next(c for c in vals if c["text"] in rules.MARKERS)
             out.add((r, row_header, "value", headers.get(m["col"], "")))
-            out.add((r, row_header, "notes", rules.OPTION_NOTES_PREFIX + opts))
+            # notes only exist when the table HAS a header row to select
+            # from; a marked row in a headerless table keeps its value
+            if any(c >= 1 for c in headers):
+                out.add((r, row_header, "notes", rules.OPTION_NOTES_PREFIX + opts))
         else:
             for c in vals:
                 key = headers.get(c["col"])
-                if key is None:
+                if not key:  # missing OR '' header -> Column_N fallback
                     key = f"Column_{c['col']}"
                 out.add((r, row_header, key, c["text"]))
     return out

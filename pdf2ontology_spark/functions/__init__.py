@@ -99,7 +99,8 @@ def priority_sorted_actions(actions: Column) -> Column:
             F.lit(v)
             for pair in [
                 ("rotate", 1), ("deskew", 2), ("crop", 3), ("remove_shadows", 4),
-                ("enhance_contrast", 5), ("denoise", 6), ("sharpen", 7), ("threshold", 8),
+                ("enhance_contrast", 5), ("gamma_correction", 5),
+                ("denoise", 6), ("sharpen", 7), ("threshold", 8),
             ]
             for v in pair
         ]

@@ -69,15 +69,22 @@ def assess_media(spans: DataFrame) -> DataFrame:
         / 655350.0,
         6,
     )
+    # thresholds are the REFERENCE's exact ones
+    # (document_analysis_utils.py:450-464 + :768): contrast<0.4 ->
+    # enhance_contrast, brightness<0.3 -> gamma_correction (its own
+    # action, not a contrast clause), sharpness<0.3 -> sharpen,
+    # noise>0.6 -> denoise, abs(skew)>=2.0 -> deskew
     raw_actions = F.concat(
         F.when(F.col("rotation_deg") != 0, F.array(F.lit("rotate"))).otherwise(F.array()),
-        F.when(F.abs(F.col("skew_deg")) > 2, F.array(F.lit("deskew"))).otherwise(F.array()),
-        F.when(
-            (F.col("contrast") < 0.4) | (F.col("brightness") < 0.35),
-            F.array(F.lit("enhance_contrast")),
-        ).otherwise(F.array()),
+        F.when(F.abs(F.col("skew_deg")) >= 2, F.array(F.lit("deskew"))).otherwise(F.array()),
+        F.when(F.col("contrast") < 0.4, F.array(F.lit("enhance_contrast"))).otherwise(
+            F.array()
+        ),
+        F.when(F.col("brightness") < 0.3, F.array(F.lit("gamma_correction"))).otherwise(
+            F.array()
+        ),
         F.when(F.col("noise") > 0.6, F.array(F.lit("denoise"))).otherwise(F.array()),
-        F.when(F.col("sharpness") < 0.4, F.array(F.lit("sharpen"))).otherwise(F.array()),
+        F.when(F.col("sharpness") < 0.3, F.array(F.lit("sharpen"))).otherwise(F.array()),
     )
     df = df.withColumn("quality", quality).withColumn(
         "needs_processing",

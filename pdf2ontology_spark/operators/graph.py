@@ -279,9 +279,11 @@ def ontology_classes(spark, nodes_df: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_instances"),
         F.slice(F.array_sort(F.collect_set("entity_id")), 1, 5).alias("instance_examples"),
     )
+    # broadcast must hint the RIGHT (non-preserved) side of a left join —
+    # hinting the preserved side is a silent no-op
     return (
-        F.broadcast(ontology_class_dim(spark))
-        .join(stats.withColumnRenamed("entity_type", "name"), "name", "left")
+        ontology_class_dim(spark)
+        .join(F.broadcast(stats.withColumnRenamed("entity_type", "name")), "name", "left")
         .select(
             "class_id",
             "name",

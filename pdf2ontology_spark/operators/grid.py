@@ -104,13 +104,31 @@ def apply_spanning_cells(grid_cells: DataFrame, span_boxes: DataFrame) -> DataFr
         F.min("col").alias("c0"),
         F.max("col").alias("c1"),
     )
-    tagged = covered.join(extent, [*KEY, "span_id"]).select(
-        *KEY, "row", "col",
-        F.when((F.col("row") == F.col("r0")) & (F.col("col") == F.col("c0")), "merged")
-        .otherwise("empty")
-        .alias("cell_type"),
-        (F.col("r1") - F.col("r0") + 1).alias("rowspan"),
-        (F.col("c1") - F.col("c0") + 1).alias("colspan"),
+    # the merged survivor is the FIRST covered cell in reading order
+    # (min (row, col) among the cells actually covered) — anchoring on
+    # (r0 AND c0) would emit NO merged cell for L-shaped coverage where
+    # no cell sits at the extent corner, silently losing the span's text
+    # (reference table_transformer.py:303-310 promotes covered_cells[0])
+    w_span = Window.partitionBy(*KEY, "span_id").orderBy("row", "col")
+    tagged = (
+        covered.withColumn("_first", F.row_number().over(w_span))
+        .join(extent, [*KEY, "span_id"])
+        .select(
+            *KEY, "span_id", "row", "col",
+            F.when(F.col("_first") == 1, "merged").otherwise("empty").alias("cell_type"),
+            (F.col("r1") - F.col("r0") + 1).alias("rowspan"),
+            (F.col("c1") - F.col("c0") + 1).alias("colspan"),
+        )
+    )
+    # one tag per cell even when several spans cover it: the span with
+    # the smallest id wins (deterministic stand-in for the reference's
+    # sequential mutation) — without this the left join fans out and
+    # downstream maps hit DUPLICATED_MAP_KEY
+    w_cell = Window.partitionBy(*KEY, "row", "col").orderBy("span_id")
+    tagged = (
+        tagged.withColumn("_rk", F.row_number().over(w_cell))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "span_id")
     )
     return (
         grid_cells.join(tagged, [*KEY, "row", "col"], "left")
@@ -151,17 +169,27 @@ def grid_to_row_maps(cells: DataFrame) -> DataFrame:
     df = cells.withColumn("hrow", first_content_row).withColumn(
         "header", F.max(F.when(F.col("row") == F.col("hrow"), F.col("text"))).over(w_col)
     )
+    base_key = F.when(
+        F.col("header").isNull() | (F.col("header") == ""),
+        F.concat(F.lit("Column_"), "col"),
+    ).otherwise(F.col("header"))
+    # duplicate header labels ('Min'/'Max' groups, alike unit columns)
+    # would abort the job with DUPLICATED_MAP_KEY: disambiguate every
+    # non-first occurrence with its column index (deterministic)
+    w_key = Window.partitionBy(*KEY, "bkey").orderBy("col")
+    df = df.withColumn("bkey", base_key).withColumn(
+        "key",
+        F.when(
+            F.dense_rank().over(w_key) > 1,
+            F.concat(F.col("bkey"), F.lit("_"), F.col("col")),
+        ).otherwise(F.col("bkey")),
+    )
     entries = F.transform(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("col").alias("c"),
-                    F.when(
-                        F.col("header").isNull() | (F.col("header") == ""),
-                        F.concat(F.lit("Column_"), "col"),
-                    )
-                    .otherwise(F.col("header"))
-                    .alias("k"),
+                    F.col("key").alias("k"),
                     F.col("text").alias("v"),
                 )
             )

@@ -65,8 +65,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         / F.greatest(n_words, F.lit(1))
     )
 
-    def clamp01(c):
-        return F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))
+    from pdf2ontology_spark.functions import clamp01
 
     length_score = clamp01(n_chars / F.lit(400.0))
     wlen_score = clamp01(1.0 - F.abs(avg_wlen - 5.0) / 5.0)

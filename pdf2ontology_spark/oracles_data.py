@@ -342,14 +342,16 @@ q AS (
   SELECT *,
     round((3 * ci + 2 * bi + 3 * si + 2 * (65535 - ni)) / 655350.0, 6) AS quality,
     (rotation_deg <> 0) AS a_rotate,
-    (abs(skew_deg) > 2) AS a_deskew,
-    (contrast < 0.4 OR brightness < 0.35) AS a_contrast,
+    (abs(skew_deg) >= 2) AS a_deskew,
+    (contrast < 0.4) AS a_contrast,
+    (brightness < 0.3) AS a_gamma,
     (noise > 0.6) AS a_denoise,
-    (sharpness < 0.4) AS a_sharpen
+    (sharpness < 0.3) AS a_sharpen
   FROM m),
 flags AS (
   SELECT *,
-    (quality <= 0.8 AND (a_rotate OR a_deskew OR a_contrast OR a_denoise OR a_sharpen))
+    (quality <= 0.8 AND (a_rotate OR a_deskew OR a_contrast OR a_gamma
+                         OR a_denoise OR a_sharpen))
       AS needs_processing
   FROM q)"""
 
@@ -361,6 +363,7 @@ def assess_media_sql(tag: str = "sf0.01") -> str:
       CASE WHEN a_rotate THEN 'rotate' END,
       CASE WHEN a_deskew THEN 'deskew' END,
       CASE WHEN a_contrast THEN 'enhance_contrast' END,
+      CASE WHEN a_gamma THEN 'gamma_correction' END,
       CASE WHEN a_denoise THEN 'denoise' END,
       CASE WHEN a_sharpen THEN 'sharpen' END)"""
     return f"""
@@ -379,6 +382,7 @@ def condition_rollup_sql(tag: str = "sf0.01") -> str:
             ("rotate", "a_rotate"),
             ("deskew", "a_deskew"),
             ("enhance_contrast", "a_contrast"),
+            ("gamma_correction", "a_gamma"),
             ("denoise", "a_denoise"),
             ("sharpen", "a_sharpen"),
         ]
@@ -494,13 +498,20 @@ extent AS (
   SELECT doc_id, table_id, span_id,
          min(rw) AS r0, max(rw) AS r1, min(cl) AS c0, max(cl) AS c1
   FROM covered GROUP BY 1, 2, 3),
-tagged AS MATERIALIZED (
-  SELECT cv.doc_id, cv.table_id, cv.rw, cv.cl,
-    CASE WHEN cv.rw = e.r0 AND cv.cl = e.c0 THEN 'merged' ELSE 'empty' END AS cell_type,
+tagged0 AS (
+  SELECT cv.doc_id, cv.table_id, cv.span_id, cv.rw, cv.cl,
+    CASE WHEN row_number() OVER (PARTITION BY cv.doc_id, cv.table_id, cv.span_id
+                                 ORDER BY cv.rw, cv.cl) = 1
+         THEN 'merged' ELSE 'empty' END AS cell_type,
     CAST(e.r1 - e.r0 + 1 AS INTEGER) AS rowspan,
     CAST(e.c1 - e.c0 + 1 AS INTEGER) AS colspan
   FROM covered cv JOIN extent e
     ON e.doc_id = cv.doc_id AND e.table_id = cv.table_id AND e.span_id = cv.span_id),
+tagged AS MATERIALIZED (
+  SELECT doc_id, table_id, rw, cl, cell_type, rowspan, colspan FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, table_id, rw, cl
+                                 ORDER BY span_id) AS _rk
+    FROM tagged0) WHERE _rk = 1),
 gridfinal AS MATERIALIZED (
   SELECT a.doc_id, a.table_id, a.rw, a.cl, a.text,
     coalesce(t.cell_type, 'normal') AS cell_type,
@@ -562,15 +573,22 @@ hdr AS MATERIALIZED (
   SELECT e.doc_id, e.table_id, e.cl,
          max(CASE WHEN e.rw = h.hr THEN e.text END) AS header
   FROM expanded e JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
-  GROUP BY 1, 2, 3)
+  GROUP BY 1, 2, 3),
+hkey AS MATERIALIZED (
+  SELECT doc_id, table_id, cl,
+    CASE WHEN dense_rank() OVER (PARTITION BY doc_id, table_id, bkey
+                                 ORDER BY cl) > 1
+         THEN bkey || '_' || CAST(cl AS VARCHAR) ELSE bkey END AS hk
+  FROM (
+    SELECT doc_id, table_id, cl,
+      CASE WHEN coalesce(header, '') = '' THEN 'Column_' || CAST(cl AS VARCHAR)
+           ELSE header END AS bkey
+    FROM hdr))
 SELECT e.doc_id, e.table_id, CAST(e.rw AS INTEGER) AS "row",
-  string_agg(
-    (CASE WHEN coalesce(d.header, '') = '' THEN 'Column_' || CAST(e.cl AS VARCHAR)
-          ELSE d.header END) || '=' || e.text,
-    '|' ORDER BY e.cl) AS row_map_str
+  string_agg(d.hk || '=' || e.text, '|' ORDER BY e.cl) AS row_map_str
 FROM expanded e
 JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
-JOIN hdr d ON d.doc_id = e.doc_id AND d.table_id = e.table_id AND d.cl = e.cl
+JOIN hkey d ON d.doc_id = e.doc_id AND d.table_id = e.table_id AND d.cl = e.cl
 WHERE e.rw > h.hr
 GROUP BY 1, 2, 3"""
     )
@@ -615,6 +633,7 @@ def preprocessed_media_sql(tag: str = "sf0.01") -> str:
       CASE WHEN a_rotate THEN 'rotate' END,
       CASE WHEN a_deskew THEN 'deskew' END,
       CASE WHEN a_contrast THEN 'enhance_contrast' END,
+      CASE WHEN a_gamma THEN 'gamma_correction' END,
       CASE WHEN a_denoise THEN 'denoise' END,
       CASE WHEN a_sharpen THEN 'sharpen' END], x -> x IS NOT NULL)"""
     return f"""

@@ -165,6 +165,19 @@ def grid_to_row_maps(cells: DataFrame) -> DataFrame:
     (table_processor_paddlex.py:320-338)."""
     w_tbl = Window.partitionBy(*KEY)
     w_col = Window.partitionBy(*KEY, "col")
+    # bbox coverage is not rectangular, so span expansion can land on a
+    # position that also holds a surviving normal cell; one deterministic
+    # winner per (row, col) — non-empty text first, then lexicographic —
+    # or map_from_entries aborts with DUPLICATED_MAP_KEY (the reference's
+    # mutable dict silently last-wins here)
+    w_pos = Window.partitionBy(*KEY, "row", "col").orderBy(
+        F.col("text") == "", "text"
+    )
+    cells = (
+        cells.withColumn("_pk", F.row_number().over(w_pos))
+        .filter(F.col("_pk") == 1)
+        .drop("_pk")
+    )
     first_content_row = F.min(F.when(F.col("text") != "", F.col("row"))).over(w_tbl)
     df = cells.withColumn("hrow", first_content_row).withColumn(
         "header", F.max(F.when(F.col("row") == F.col("hrow"), F.col("text"))).over(w_col)

@@ -566,13 +566,18 @@ expanded AS MATERIALIZED (
        unnest(range(0, CAST(f.rowspan AS BIGINT))) AS u(dr),
        unnest(range(0, CAST(f.colspan AS BIGINT))) AS v(dc)
   WHERE f.cell_type <> 'empty'),
+expanded1 AS MATERIALIZED (
+  SELECT doc_id, table_id, rw, cl, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, table_id, rw, cl
+                                 ORDER BY (text = ''), text) AS _pk
+    FROM expanded) WHERE _pk = 1),
 hrow AS MATERIALIZED (
   SELECT doc_id, table_id, min(CASE WHEN text <> '' THEN rw END) AS hr
-  FROM expanded GROUP BY 1, 2),
+  FROM expanded1 GROUP BY 1, 2),
 hdr AS MATERIALIZED (
   SELECT e.doc_id, e.table_id, e.cl,
          max(CASE WHEN e.rw = h.hr THEN e.text END) AS header
-  FROM expanded e JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
+  FROM expanded1 e JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
   GROUP BY 1, 2, 3),
 hkey AS MATERIALIZED (
   SELECT doc_id, table_id, cl,
@@ -586,7 +591,7 @@ hkey AS MATERIALIZED (
     FROM hdr))
 SELECT e.doc_id, e.table_id, CAST(e.rw AS INTEGER) AS "row",
   string_agg(d.hk || '=' || e.text, '|' ORDER BY e.cl) AS row_map_str
-FROM expanded e
+FROM expanded1 e
 JOIN hrow h ON h.doc_id = e.doc_id AND h.table_id = e.table_id
 JOIN hkey d ON d.doc_id = e.doc_id AND d.table_id = e.table_id AND d.cl = e.cl
 WHERE e.rw > h.hr

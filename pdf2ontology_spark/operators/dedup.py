@@ -88,10 +88,15 @@ def minhash_bands(
 
 
 def minhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    w: int = SHINGLE_W,
 ) -> DataFrame:
     """LSH candidate pairs: ids sharing any band bucket. (id_a < id_b)."""
-    bb = minhash_bands(minhash_signature(df, id_col, text_col, k), k, bands)
+    bb = minhash_bands(minhash_signature(df, id_col, text_col, k, w), k, bands)
     a = bb.withColumnRenamed("id", "id_a")
     b = bb.withColumnRenamed("id", "id_b")
     return (
@@ -240,7 +245,7 @@ def dedup_clusters(
     Scale shape: banded equi-join for candidates (never all-pairs),
     shingle joins restricted to candidate ids, iterative CC only over
     verified duplicate edges (tiny by construction)."""
-    cand = minhash_pairs(df, id_col, text_col, k, bands)
+    cand = minhash_pairs(df, id_col, text_col, k, bands, w)
     sh = shingles(df, id_col, text_col, w)
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n"))
     inter = (

@@ -55,6 +55,24 @@ def _vec_dim(emb: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row else 0
 
 
+def _checked_vec(vec_col: str, dim: int) -> Column:
+    """double-cast vector with a per-row dimensionality guard: a vector
+    whose length differs from the hyperplane width would silently bias
+    signature bits to 0 (zip_with pads the short side with nulls, the
+    projection goes null, the bit falls to 0) — so mismatches raise
+    instead. ``assert_true`` returns NULL on success; wrapping it in
+    ``when(...isNull(), v)`` forces per-row evaluation so Catalyst cannot
+    prune the check away."""
+    ok = F.assert_true(
+        F.size(F.col(vec_col)) == F.lit(dim),
+        F.concat(
+            F.lit(f"embedding dimension mismatch: expected {dim}, got "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), _as_double(F.col(vec_col)))
+
+
 def _band_signature(v: Column, offset: int, nbits: int, dim: int) -> Column:
     """nbits-bit signature over planes [offset, offset+nbits): bit j = 1
     iff dot(v, plane_{offset+j}) > 0. Planes are literal arrays."""
@@ -99,6 +117,7 @@ def banded_signatures(
     vec_col: str = "embedding",
     planes_per_band: int = 4,
     bands: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, band, band_key): ``bands`` independent hyperplane-LSH tables
     of ``planes_per_band`` bits each. Two vectors at angle theta collide
@@ -106,9 +125,15 @@ def banded_signatures(
     the multi-table construction that keeps recall high where a single
     wide signature would shatter near-dups across buckets. Signatures
     are deterministic (md5 hyperplanes), precomputable and storable as a
-    bucketed table at corpus scale."""
-    dim = _vec_dim(emb, vec_col)
-    base = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    bucketed table at corpus scale.
+
+    ``dim`` is the vector width; when omitted it is sampled from one row
+    (a tiny eager job at plan-build time) — either way every row is
+    length-checked (``_checked_vec``) so heterogeneous vectors fail
+    loudly instead of producing silently biased signatures."""
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
+    base = emb.select(F.col(id_col).alias("id"), _checked_vec(vec_col, dim).alias("v"))
     structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -151,11 +176,12 @@ def brute_topk(
 
 
 def signatures(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-               planes: int = PLANES) -> DataFrame:
-    dim = _vec_dim(emb, vec_col)
+               planes: int = PLANES, dim: int | None = None) -> DataFrame:
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
     return emb.select(
         F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
+        _checked_vec(vec_col, dim).alias("v"),
     ).withColumn("sig", _signature(F.col("v"), planes, dim))
 
 

@@ -59,10 +59,26 @@ def load_documents_spans(
     if repartition:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        size = os.path.getsize(paths["documents_spans"])
+        size = _scan_bytes(paths["documents_spans"])
         if size // max_split < n:
             df = df.repartition(n, "doc_id")
     return df
+
+
+def _scan_bytes(path: str) -> int:
+    """Total parquet bytes a scan of ``path`` will read. For a
+    Spark-written DIRECTORY table, ``os.path.getsize`` returns the inode
+    size (~4KB) — which would make the small-scan test always pass and
+    shuffle the full corpus for nothing — so directories sum their data
+    files instead."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def load_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +116,12 @@ def merge_upsert(
     match MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
     INSERT. The parquet commit is two renames, which is NOT atomic —
     it is CRASH-RECOVERABLE instead: a crash between the renames leaves
-    the previous table under ``._merge_old``, and the next call (or
-    read) restores it before proceeding, so no committed data is ever
+    the fully-written merge result under ``._merge_tmp`` and the
+    previous table under ``._merge_old``; ``_recover_merge`` (run by the
+    next ``merge_upsert`` call AND by the ``read_merged`` read-path
+    helper) prefers COMPLETING the crashed commit from ``._merge_tmp``
+    (it has ``_SUCCESS``, so it is the full merged output) and falls
+    back to restoring ``._merge_old`` — no committed data is ever
     silently lost. On Iceberg (SPARK_GRAFT_TABLE_FORMAT=iceberg) the
     real MERGE runs and the snapshot commit is truly transactional.
     """
@@ -117,12 +137,7 @@ def merge_upsert(
         return
     tmp = path.rstrip("/") + "._merge_tmp"
     old = path.rstrip("/") + "._merge_old"
-    # crash recovery: a previous merge died between its two renames
-    if not os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
-        os.path.join(old, "_SUCCESS")
-    ):
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(old, path)
+    _recover_merge(path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         updates.write.mode("overwrite").parquet(path)
         return
@@ -135,3 +150,35 @@ def merge_upsert(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_merge(path: str) -> None:
+    """Repair a merge that crashed between its two commit renames.
+
+    A complete ``._merge_tmp`` (has ``_SUCCESS``) is always the NEWEST
+    state — it is renamed away on successful commit, so its presence
+    means the commit never finished — and wins unconditionally; next an
+    intact committed ``path`` (only stale leftovers to sweep); last the
+    pre-merge backup ``._merge_old``."""
+    import shutil
+
+    tmp = path.rstrip("/") + "._merge_tmp"
+    old = path.rstrip("/") + "._merge_old"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    elif os.path.exists(os.path.join(old, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(old, path)
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``merge_upsert``-managed parquet table, repairing a
+    crashed commit first — so a plain read after a mid-commit crash sees
+    the recovered table instead of failing on the missing directory."""
+    _recover_merge(path)
+    return spark.read.parquet(path)

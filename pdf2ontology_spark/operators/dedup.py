@@ -148,7 +148,7 @@ def ngram_jaccard_pairs(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # the standard width (wider keys -> see simhash_pairs)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -156,9 +156,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
     token bit b = bit (b % 4) of hex digit (b // 4) of md5(token) —
     digit-wise so the identical formula is expressible in DuckDB (which
-    has no hex->bigint conversion). simhash bit b is 1 iff the sum over
-    tokens of (2*bit - 1) > 0. One groupBy with ``bits``
-    sum-aggregates, assembled back into a long.
+    has no hex->bigint conversion; md5's 32 hex digits cover all 64
+    bits). simhash bit b is 1 iff the sum over tokens of (2*bit - 1)
+    > 0. One groupBy with ``bits`` sum-aggregates, assembled back into a
+    long — bit 63 adds LONG_MIN (the two's-complement value of 2^63),
+    which is carry-free because the other 63 bits sum to < 2^63.
     """
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("tok")
@@ -174,7 +176,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     agg = tok.groupBy("id").agg(*aggs)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        weight = F.lit(2**b if b < 63 else -(2**63))
+        term = F.when(F.col(f"s_{b}") > 0, weight).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("long").alias("simhash"))
 
@@ -195,6 +198,14 @@ def simhash_pairs(
     block equi-join loses nothing for k <= bands-1. Verification is one
     bit_count(xor) per candidate. One groupBy + one equi-join at any
     scale; signatures are storable and incremental.
+
+    Scale of the key space: 64-bit signatures / 4 bands give 16-bit
+    block keys — 65,536 buckets per band, so expected bucket occupancy
+    is n/65,536 and candidate volume stays near-linear far past the
+    corpus sizes where the previous 32-bit/8-bit-key construction
+    (256 buckets per band, O(n^2/256) candidates) degraded to
+    within-bucket all-pairs. Sub-quadratic growth is regression-tested
+    (tests/test_candidate_volume.py).
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs k <= bands-1"
     width = bits // bands

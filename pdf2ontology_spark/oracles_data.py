@@ -110,6 +110,12 @@ JOIN sizes sb ON sb.id = i.id_b
 WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {threshold} - 1e-12"""
 
 
+def _simhash_weight(b: int) -> str:
+    """Bit weight in signed-BIGINT space: bit 63 is LONG_MIN (adding it
+    last is carry-free since the other 63 bits sum to < 2^63)."""
+    return str(2**b) if b < 63 else "(-9223372036854775808)"
+
+
 def simhash_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     sums = []
     for b in range(SIMHASH_BITS):
@@ -117,7 +123,8 @@ def simhash_sql(source: str = "documents", id_col: str = "doc_id", text_col: str
         bit = f"(({digit} // {2 ** (b % 4)}) % 2)"
         sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
     assemble = " + ".join(
-        f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s_{b} > 0 THEN {_simhash_weight(b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     )
     ws = words_sql(text_col)
     return f"""
@@ -669,7 +676,10 @@ def simhash_pairs_sql(
     bands: int = 4,
 ) -> str:
     """Twin of dedup.simhash_pairs: band equi-join over signature
-    bit-blocks (pigeonhole-exact for k <= bands-1) + bit_count verify."""
+    bit-blocks (pigeonhole-exact for k <= bands-1) + bit_count verify.
+    16-bit block keys (64/4); negative-BIGINT shifts are safe because
+    the low ``width`` bits of (x >> s) are fill-independent under the
+    mask."""
     width = SIMHASH_BITS // bands
     sums = []
     for b in range(SIMHASH_BITS):
@@ -677,7 +687,8 @@ def simhash_pairs_sql(
         bit = f"(({digit} // {2 ** (b % 4)}) % 2)"
         sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
     assemble = " + ".join(
-        f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s_{b} > 0 THEN {_simhash_weight(b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     )
     ws = words_sql(text_col)
     band_rows = " UNION ALL ".join(

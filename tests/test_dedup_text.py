@@ -50,8 +50,9 @@ def test_ngram_jaccard_exact_values(spark, docs):
 def test_simhash_close_for_near_dups(spark, docs):
     sh = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert sh["d1"] == sh["d2"]
-    ham13 = bin(sh["d1"] ^ sh["d3"]).count("1")
-    ham14 = bin(sh["d1"] ^ sh["d4"]).count("1")
+    mask = (1 << 64) - 1  # signatures are signed 64-bit; compare as bit patterns
+    ham13 = bin((sh["d1"] ^ sh["d3"]) & mask).count("1")
+    ham14 = bin((sh["d1"] ^ sh["d4"]) & mask).count("1")
     assert ham13 < ham14
 
 

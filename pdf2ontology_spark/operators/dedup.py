@@ -208,8 +208,24 @@ def simhash_pairs(
     (tests/test_candidate_volume.py).
     """
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs k <= bands-1"
-    width = bits // bands
     sig = simhash(df, id_col, text_col, bits)
+    return (
+        simhash_candidates(sig, bits, bands)
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def simhash_candidates(
+    sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4
+) -> DataFrame:
+    """Band-key collision pairs over a (id, simhash) signature table —
+    the pre-verify candidate stage of ``simhash_pairs``, exposed so the
+    candidate volume is measurable (tests/test_candidate_volume.py pins
+    the 16-bit-key construction at ~256x fewer collision candidates than
+    the old 8-bit keys)."""
+    width = bits // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -233,9 +249,6 @@ def simhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
@@ -294,38 +307,59 @@ def _vec_dim(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def embedding_cosine_pairs(
+def embedding_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
-    planes_per_band: int = 8,
+    planes_per_band: int | None = None,
     bands: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
-
-    Candidates come from a banded hyperplane-LSH equi-join with 1-bit
-    MULTI-PROBE (similarity.banded_signatures / probe_signatures) — NO
-    CartesianProduct at any scale, and the 8-bit band keys keep buckets
-    at n/256 so candidate volume stays near-linear (a 4-bit key without
-    probing had only 16 buckets per band: O(n^2/16) candidates — a
-    measured scale flaw at 50k vectors). Per-band match probability is
-    P(hamming <= 1) = p^b + b*p^(b-1)(1-p), p = 1 - theta/pi; across L
-    bands recall is ~1.0 for true near-dups. Exact cosine reranks via
-    two dimension joins; the exhaustive baseline stays available as
-    ``embedding_cosine_pairs_brute``.
-    """
+    """Banded hyperplane-LSH candidate pairs (id_a < id_b) with 1-bit
+    multi-probe. ``planes_per_band=None`` (the default) sizes the band
+    keys to the corpus via ``similarity.planes_for_corpus(count)`` —
+    one cheap count job buys a key space that keeps expected bucket
+    occupancy ~constant as n grows, so candidate volume stays
+    sub-quadratic (regression-tested in tests/test_candidate_volume.py)
+    instead of O(n^2/2^width) with a fixed width."""
     from pdf2ontology_spark.operators import similarity
 
+    if planes_per_band is None:
+        planes_per_band = similarity.planes_for_corpus(emb.count())
     bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
     probed = similarity.probe_signatures(bb, planes_per_band)
-    cand = (
+    return (
         bb.withColumnRenamed("id", "id_a")
         .join(probed.withColumnRenamed("id", "id_b"), ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes_per_band: int | None = None,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
+
+    Candidates come from a banded hyperplane-LSH equi-join with 1-bit
+    MULTI-PROBE (``embedding_candidates``) — NO CartesianProduct at any
+    scale, and the band-key width is derived from the corpus count
+    (``planes_for_corpus``) so bucket occupancy, and with it candidate
+    volume per row, stays roughly constant as the corpus grows (a fixed
+    8-bit key had 256 buckets per band: O(n^2/256) candidates — fine at
+    50k vectors, a scale-killer at 100x). Per-band match probability is
+    P(hamming <= 1) = p^b + b*p^(b-1)(1-p), p = 1 - theta/pi; across L
+    bands recall is ~1.0 for true near-dups, and the 1-bit multi-probe
+    holds recall as the keys widen. Exact cosine reranks via two
+    dimension joins; the exhaustive baseline stays available as
+    ``embedding_cosine_pairs_brute``.
+    """
+    cand = embedding_candidates(emb, id_col, vec_col, planes_per_band, bands)
     v = _vec_dim(emb, id_col, vec_col)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))

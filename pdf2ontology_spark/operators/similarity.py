@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 PLANES = 8
 
 
+def planes_for_corpus(
+    n: int, target_bucket: int = 64, floor: int = 8, cap: int = 24
+) -> int:
+    """Band-key width sized to the corpus: ``planes`` bits give 2^planes
+    buckets per band, so expected occupancy is n / 2^planes — solving
+    for ``target_bucket`` occupancy gives planes = ceil(log2(n /
+    target_bucket)). A FIXED width is a hidden scale bomb: 8-bit keys
+    (256 buckets) look near-linear at 50k vectors but collapse toward
+    within-bucket all-pairs (O(n^2/256)) at 100x the corpus. ``floor``
+    keeps recall-friendly coarse keys for small corpora (and pins the
+    sf0.01/sf0.1 oracle operating point at 8); ``cap`` bounds signature
+    compute at 2^24 = 16.7M buckets per band — beyond that, add bands
+    or probe bits instead of width."""
+    import math
+
+    if n <= target_bucket:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n / target_bucket))))
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 

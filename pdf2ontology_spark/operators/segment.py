@@ -75,19 +75,27 @@ def reassemble_text(spans: DataFrame) -> DataFrame:
 def merged_text_sentences(spans: DataFrame) -> DataFrame:
     """Cross-span content merge (W5 — the reference's CrossPageContent,
     /root/reference/src/pydantic_models/content_models.py:55-82): a text
-    span that does not end with '.' continues in the NEXT text span of
+    span that does not END A SENTENCE continues in the NEXT text span of
     the same document, transitively — a sentence split across ANY number
     of consecutive text spans is reassembled (multi-level merge, the
     session-window idiom): a new run starts after a terminated span (or
     at the first text span); each run concatenates in reading order.
+    A span terminates per rules.TERMINATOR_RE/ABBREV_RE: ends with
+    . ! or ? and the final token is not an abbreviation/initial — so
+    "… siehe Abb." or "… Anlage A." correctly continues.
     One window + one co-partitioned groupBy, both keyed on doc_id.
 
     Returns (doc_id, offset, sentence) where offset is the first part's.
     """
     from pyspark.sql import Window
 
+    from pdf2ontology_spark import rules
+
     w = Window.partitionBy("doc_id").orderBy("offset")
-    starts = F.lag("text").over(w).isNull() | F.lag("text").over(w).endswith(".")
+    prev = F.lag("text").over(w)
+    starts = prev.isNull() | (
+        prev.rlike(rules.TERMINATOR_RE) & ~prev.rlike(rules.ABBREV_RE)
+    )
     t = (
         spans.filter(F.col("kind") == "text")
         .withColumn(

@@ -125,13 +125,17 @@ table_triples AS (
 def merged_cte() -> str:
     """Cross-span merge (W5, multi-level): runs of consecutive text
     spans delimited by sentence terminators are concatenated — a new run
-    starts after a span ending with '.' (or at the first text span)."""
-    return """
+    starts after a span that terminates a sentence (rules.TERMINATOR_RE
+    and not rules.ABBREV_RE), or at the first text span."""
+    return f"""
 merged AS (
   SELECT doc_id, min(off) AS off, string_agg(text, ' ' ORDER BY off) AS sentence
   FROM (
     SELECT doc_id, off, text,
-      sum(CASE WHEN prev_text IS NULL OR prev_text LIKE '%.' THEN 1 ELSE 0 END)
+      sum(CASE WHEN prev_text IS NULL
+                 OR (regexp_matches(prev_text, '{rules.TERMINATOR_RE}')
+                     AND NOT regexp_matches(prev_text, '{rules.ABBREV_RE}'))
+               THEN 1 ELSE 0 END)
         OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING) AS grp
     FROM (
       SELECT doc_id, off, text,

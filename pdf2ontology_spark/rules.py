@@ -54,6 +54,25 @@ TEXT_PATTERNS = [
     (r"^(.+) liefert (.+)\.$", "produces", "organization", "product"),
 ]
 
+# Sentence-terminator rule for the cross-span merge (W5 — the
+# reference's CrossPageContent "semantic_similarity" merging,
+# content_models.py:55-82, made deterministic): a text span ENDS a
+# sentence iff it ends with . ! or ? AND its final token is not an
+# abbreviation or initial ("Dr.", "z.B.", "Anlage A.") — those dots
+# continue in the next span. Shared by the engine (Spark rlike), the
+# DuckDB oracle (regexp_matches) and the synthetic-corpus generator;
+# written in the common Java/RE2/Python regex subset.
+TERMINATOR_RE = r"[.!?]$"
+ABBREV_RE = r"(^|[ (])([A-Za-zÄÖÜäöü]|z\.B|Nr|Dr|Abb|bzw|ca|evtl|ggf|inkl|Inc|Ltd|Co)\.$"
+
+
+def span_terminates(text: str) -> bool:
+    """Python twin of the engine's JVM-side terminator test."""
+    import re
+
+    return bool(re.search(TERMINATOR_RE, text)) and not re.search(ABBREV_RE, text)
+
+
 # Fallback-rule constants (triplet_extractor.py:365-381).
 FALLBACK_CONFIDENCE = 0.6
 FALLBACK_METHOD = "fallback_rule_based"

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from pdf2ontology_spark import rules
 
-GEN_VERSION = 7  # bump to invalidate cached parquet
+GEN_VERSION = 8  # bump to invalidate cached parquet
 DEFAULT_SEED = 42
 SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
 CHUNK = 5000  # docs per deterministic generation chunk
@@ -104,6 +104,13 @@ FILLERS = [
     "Der Vertrag regelt die terms and conditions beider Parteien.",
     "Die Betriebsanleitung beschreibt Installation und Wartung.",
     "Abstract: we propose a new evaluation of related work.",
+    # terminator-class shapes (W5): sentences ending in ! and ? and
+    # sentences with interior abbreviation dots ("Abb.", "ca.") — a
+    # cross-span split right after the abbreviation must still merge
+    "Achtung Sicherheitshinweise vor der Inbetriebnahme unbedingt lesen!",
+    "Wurde die Anlage gemäß der Betriebsanleitung regelmäßig gewartet?",
+    "Weitere Details siehe Abb. 3 im technischen Anhang.",
+    "Die Messung erfolgte ca. 5 Minuten nach dem Start der Anlage.",
 ]
 
 
@@ -299,9 +306,15 @@ def _generate_chunk(seed: int, start: int, count: int):
                 text, g = _make_text_span(rng, doc_id, org)
                 goldens.extend(g)
                 words = text.split(" ")
-                # split points whose left part must NOT end with '.' (the
-                # merge rule keys on the missing terminator)
-                ks = [k for k in range(2, len(words) - 1) if not words[k - 1].endswith(".")]
+                # split points whose left part must NOT terminate a
+                # sentence (rules.span_terminates) — this now includes
+                # splits right after abbreviation dots ("Abb." / "Nr."),
+                # which the merge's abbreviation guard must rejoin
+                ks = [
+                    k
+                    for k in range(2, len(words) - 1)
+                    if not rules.span_terminates(" ".join(words[:k]))
+                ]
                 if rng.random() < 0.1 and len(words) >= 4 and ks:
                     # cross-span split: sentence continues in the NEXT
                     # text span (reference CrossPageContent semantics,
@@ -315,7 +328,7 @@ def _generate_chunk(seed: int, start: int, count: int):
                     ks2 = [
                         k2
                         for k2 in range(k + 2, len(words) - 1)
-                        if not words[k2 - 1].endswith(".")
+                        if not rules.span_terminates(" ".join(words[k:k2]))
                     ]
                     if rng.random() < 0.4 and ks2:
                         k2 = rng.choice(ks2)

@@ -97,13 +97,18 @@ def test_property_multilevel_merge(spark):
     word boundaries into ANY number of consecutive spans, the merge
     reconstructs exactly the original sentence sequence. 60 seeded
     random docs evaluated in one Spark job."""
+    from pdf2ontology_spark import rules
+
     rng = random.Random(7)
     sentences_pool = [
         "Die Anlage Pumpe P-100 befindet sich im Kesselhaus.",
         "Alle Angaben ohne Gewähr.",
-        "Das Modul A enthält B.",
+        "Das Modul A enthält B.",  # ends in an initial "B." -> does NOT terminate
         "Offenes Ende ohne Punkt",  # unterminated final sentence
         "Ein Satz. Mit innerem Punkt dazwischen geht weiter.",
+        "Sicherheitshinweise unbedingt beachten!",  # '!' terminator
+        "Ist der Wartungsplan aktuell?",  # '?' terminator
+        "Details siehe Abb. 3 im Anhang.",  # interior abbreviation dot
     ]
     docs, expected = [], {}
     for d in range(60):
@@ -113,7 +118,7 @@ def test_property_multilevel_merge(spark):
         merged_expect, acc = [], ""
         for s in sents:
             acc = f"{acc} {s}".strip()
-            if acc.endswith("."):
+            if rules.span_terminates(acc):
                 merged_expect.append(acc)
                 acc = ""
         if acc:
@@ -121,7 +126,11 @@ def test_property_multilevel_merge(spark):
         spans, off = [], 0
         for s in sents:
             words = s.split(" ")
-            pop = [k for k in range(1, len(words)) if not words[k - 1].endswith(".")]
+            pop = [
+                k
+                for k in range(1, len(words))
+                if not rules.span_terminates(" ".join(words[:k]))
+            ]
             cuts = sorted(rng.sample(pop, k=min(rng.randint(0, 3), len(pop))))
             parts, prev = [], 0
             for k in cuts:

@@ -63,8 +63,12 @@ def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _all_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = _spans(spark, sf_dir)
-    return triples.all_triples(sp, tabulate.semantic_entries(tabulate.table_cells(sp)))
+    # fused single-scan plan: one corpus read, zero exchanges (the
+    # composed all_triples(spans, entries) scans + parses twice and
+    # shuffles for the tabulate/sentence windows); equivalence with the
+    # composed path is pinned by tests/test_triples_fused.py and the
+    # shared DuckDB oracle
+    return triples.all_triples_fused(_docs(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -31,8 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pdf2ontology_spark import rules
+from pdf2ontology_spark.schemas import CELL
 
 
 def classify_value_col(c: Column) -> Column:
@@ -114,5 +116,351 @@ def text_triples(spans: DataFrame) -> DataFrame:
 def all_triples(spans: DataFrame, entries: DataFrame, reference_strict: bool = False) -> DataFrame:
     """Union of table + text triples (U1 semantics: one DataFrame from
     the start — the reference's ``all_triplets.extend`` loop collapses to
-    ``unionByName``)."""
+    ``unionByName``). Composed from the staged operators — use
+    ``all_triples_fused`` for the single-scan, shuffle-free production
+    plan over the raw documents table."""
     return table_triples(entries, reference_strict).unionByName(text_triples(spans))
+
+
+# ------------------------------------------------------- fused extraction
+# Field layout of one extracted triple inside the per-document arrays;
+# both branches must emit the exact same struct for concat().
+def _triple_struct(
+    table_id: Column,
+    subj: Column,
+    subj_type: Column,
+    predicate: Column,
+    obj: Column,
+    obj_type: Column,
+    confidence: float,
+    sentence: Column,
+    method: str,
+) -> Column:
+    return F.struct(
+        table_id.alias("table_id"),
+        subj.alias("subj_name"),
+        subj_type.alias("subj_type"),
+        predicate.alias("predicate"),
+        obj.alias("obj_name"),
+        obj_type.alias("obj_type"),
+        F.lit(confidence).alias("confidence"),
+        sentence.alias("source_sentence"),
+        F.lit(method).alias("extraction_method"),
+    )
+
+
+def _bind(expr: Column, f) -> Column:
+    """Evaluate ``expr`` ONCE and pass the materialized value into
+    ``f`` as a higher-order-function lambda variable. Catalyst does NOT
+    eliminate common subexpressions across lambda bodies — without this
+    binding, every helper that references the parsed cell list would
+    re-run from_json per reference (measured ~25% slower extraction)."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
+def _table_span_triples(doc_id: Column, span: Column, reference_strict: bool) -> Column:
+    """Array of triples extracted from ONE table span — the whole
+    tabulate.table_cells -> semantic_entries -> table_triples chain
+    re-expressed as array expressions over the span's cell list (the
+    grid lives entirely inside this one span's JSON, so every
+    (doc_id, table_id[, row/col]) window collapses to an in-row array
+    computation: tabulate.py's one shuffle becomes zero). Grids are
+    5-50 cells (reference scale), so the O(cells^2) row/col lookups are
+    constant-bounded per row."""
+    raw = F.from_json(F.coalesce(span["text"], F.lit("")), T.ArrayType(CELL))
+    # malformed JSON -> null array -> no cells (F11 per-item tolerance);
+    # null elements mirror table_cells' explode_outer + isNotNull filter
+    parsed = F.transform(
+        F.filter(F.coalesce(raw, F.array().cast(T.ArrayType(CELL))), lambda c: c.isNotNull()),
+        lambda c: F.struct(
+            c["row"].alias("row"),
+            c["col"].alias("col"),
+            F.coalesce(c["text"], F.lit("")).alias("txt"),
+        ),
+    )
+    table_id = F.sha2(
+        F.concat_ws(":", doc_id, span["offset"].cast("string")), 256
+    )
+    return _bind(
+        parsed, lambda cells: _cells_triples(table_id, cells, reference_strict)
+    )
+
+
+def _cells_triples(table_id: Column, cells: Column, reference_strict: bool) -> Column:
+    """Triples from a (once-materialized) normalized cell array."""
+    ncols = F.array_max(F.transform(cells, lambda c: c["col"])) + F.lit(1)
+    has_opts = F.exists(cells, lambda c: (c["row"] == 0) & (c["col"] >= 1))
+    options = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.filter(cells, lambda c: (c["row"] == 0) & (c["col"] >= 1)),
+                    lambda c: F.struct(c["col"].alias("col"), c["txt"].alias("text")),
+                )
+            ),
+            lambda s: s["text"],
+        ),
+        ", ",
+    )
+
+    def header_of(col: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.filter(cells, lambda x: (x["row"] == 0) & (x["col"] == col)),
+                lambda x: x["txt"],
+            )
+        )
+
+    def row_header_of(row: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(cells, lambda x: (x["row"] == row) & (x["col"] == 0)),
+                    lambda x: x["txt"],
+                )
+            ),
+            F.lit(""),
+        )
+
+    def is_marker(x: Column) -> Column:
+        return x["txt"].isin(rules.MARKERS)
+
+    def n_marker_of(row: Column) -> Column:
+        return F.size(
+            F.filter(cells, lambda x: (x["row"] == row) & (x["col"] >= 1) & is_marker(x))
+        )
+
+    def n_other_of(row: Column) -> Column:
+        return F.size(
+            F.filter(
+                cells,
+                lambda x: (x["row"] == row)
+                & (x["col"] >= 1)
+                & ~is_marker(x)
+                & (x["txt"] != ""),
+            )
+        )
+
+    kv = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+    )
+
+    def entry(k: Column, v: Column) -> Column:
+        return F.struct(k.alias("key"), v.alias("value"))
+
+    def entries_for(c: Column) -> Column:
+        header = header_of(c["col"])
+        marker = is_marker(c)
+        option_row = (n_marker_of(c["row"]) == 1) & (n_other_of(c["row"]) == 0)
+        return (
+            F.when(
+                ncols == 2,
+                F.when(
+                    c["col"] == 1, F.array(entry(F.lit("value"), c["txt"]))
+                ).otherwise(F.array().cast(T.ArrayType(kv))),
+            )
+            .when(
+                option_row,
+                F.when(
+                    marker,
+                    F.when(
+                        has_opts,
+                        F.array(
+                            entry(F.lit("value"), F.coalesce(header, F.lit(""))),
+                            entry(
+                                F.lit("notes"),
+                                F.concat(F.lit(rules.OPTION_NOTES_PREFIX), options),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array(entry(F.lit("value"), F.coalesce(header, F.lit(""))))
+                    ),
+                ).otherwise(F.array().cast(T.ArrayType(kv))),
+            )
+            .otherwise(
+                F.array(
+                    entry(
+                        F.when(
+                            header.isNull() | (header == ""),
+                            F.concat(F.lit("Column_"), c["col"]),
+                        ).otherwise(header),
+                        c["txt"],
+                    )
+                )
+            )
+        )
+
+    value_cells = F.filter(cells, lambda c: (c["row"] >= 1) & (c["col"] >= 1))
+    entries = F.flatten(
+        F.transform(
+            value_cells,
+            lambda c: F.transform(
+                entries_for(c),
+                lambda e: F.struct(
+                    c["row"].alias("row_idx"),
+                    row_header_of(c["row"]).alias("row_header"),
+                    e["key"].alias("key"),
+                    e["value"].alias("value"),
+                ),
+            ),
+        )
+    )
+    def finalize(es: Column) -> Column:
+        return F.transform(
+            F.filter(es, lambda e: (e["value"] != "") & (e["key"] != "row_header")),
+            lambda e: _triple_struct(
+                table_id,
+                e["row_header"],
+                F.lit("concept"),
+                F.lit("related_to"),
+                e["value"],
+                classify_value_col(e["value"]),
+                rules.FALLBACK_CONFIDENCE,
+                F.concat(
+                    e["row_header"], F.lit(" has "), e["key"], F.lit(" of "), e["value"]
+                ),
+                rules.FALLBACK_METHOD,
+            ),
+        )
+
+    if reference_strict:
+        # data_rows[:3] cap (triplet_extractor.py:358) == keep entries
+        # whose row_idx ranks among the table's first 3 distinct rows;
+        # both the entry list and the distinct-row list are _bind-ed so
+        # neither recomputes per filtered element
+        return _bind(
+            entries,
+            lambda es: _bind(
+                F.array_sort(F.array_distinct(F.transform(es, lambda e: e["row_idx"]))),
+                lambda rows_sorted: finalize(
+                    F.filter(
+                        es, lambda e: F.array_position(rows_sorted, e["row_idx"]) <= 3
+                    )
+                ),
+            ),
+        )
+    return finalize(entries)
+
+
+def _merged_sentences_arr(spans_col: Column) -> Column:
+    """Array of (offset, sentence) structs: the W5 cross-span merge as a
+    per-document fold over the (offset-ordered by input invariant) text
+    spans — same terminator rule as segment.merged_text_sentences, but
+    with NO doc_id shuffle: the session window collapses to
+    F.aggregate, because the whole document is already one row."""
+    texts = F.filter(spans_col, lambda s: s["kind"] == "text")
+    sent_t = "array<struct<offset int, sentence string>>"
+    init = F.struct(
+        F.array().cast(sent_t).alias("done"),
+        F.lit(None).cast("string").alias("cur"),
+        F.lit(None).cast("int").alias("cur_off"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        txt = F.coalesce(s["text"], F.lit(""))
+        new_cur = F.when(acc["cur"].isNull(), txt).otherwise(
+            F.concat(acc["cur"], F.lit(" "), txt)
+        )
+        # cast: inline test data infers python ints as bigint; the
+        # accumulator struct is pinned to the parquet schema's int32
+        new_off = (
+            F.when(acc["cur"].isNull(), s["offset"]).otherwise(acc["cur_off"]).cast("int")
+        )
+        terminated = txt.rlike(rules.TERMINATOR_RE) & ~txt.rlike(rules.ABBREV_RE)
+        return F.when(
+            terminated,
+            F.struct(
+                F.concat(
+                    acc["done"],
+                    F.array(
+                        F.struct(new_off.alias("offset"), new_cur.alias("sentence"))
+                    ),
+                ).alias("done"),
+                F.lit(None).cast("string").alias("cur"),
+                F.lit(None).cast("int").alias("cur_off"),
+            ),
+        ).otherwise(
+            F.struct(acc["done"].alias("done"), new_cur.alias("cur"), new_off.alias("cur_off"))
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["cur"].isNull(), acc["done"]).otherwise(
+            F.concat(
+                acc["done"],
+                F.array(
+                    F.struct(
+                        acc["cur_off"].alias("offset"), acc["cur"].alias("sentence")
+                    )
+                ),
+            )
+        )
+
+    return F.aggregate(texts, init, step, finish)
+
+
+def _sentence_triples(sent: Column) -> Column:
+    """Array of pattern triples for one merged sentence struct."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.regexp_extract(sent["sentence"], pat, 1).alias("subj_name"),
+                F.lit(st).alias("subj_type"),
+                F.lit(pred).alias("predicate"),
+                F.regexp_extract(sent["sentence"], pat, 2).alias("obj_name"),
+                F.lit(ot).alias("obj_type"),
+            )
+            for pat, pred, st, ot in rules.TEXT_PATTERNS
+        ]
+    )
+    return F.transform(
+        F.filter(cands, lambda m: (m["subj_name"] != "") & (m["obj_name"] != "")),
+        lambda m: _triple_struct(
+            F.lit(None).cast("string"),
+            m["subj_name"],
+            m["subj_type"],
+            m["predicate"],
+            m["obj_name"],
+            m["obj_type"],
+            rules.PATTERN_CONFIDENCE,
+            sent["sentence"],
+            rules.PATTERN_METHOD,
+        ),
+    )
+
+
+def all_triples_fused(docs: DataFrame, reference_strict: bool = False) -> DataFrame:
+    """Single-scan, shuffle-free triple extraction over the raw
+    documents table (doc_id, spans): both extraction kinds — the
+    table fallback rule and the sentence patterns — are computed per
+    document with array expressions inside ONE narrow projection, so
+    the physical plan is FileScan -> Project -> Generate(explode) with
+    ZERO exchanges and ONE corpus read. The composed
+    ``all_triples(spans, entries)`` path reads + explodes the corpus
+    once per branch and shuffles for the tabulate windows and the
+    sentence session-window; at 10^12 documents that is the entire
+    corpus scanned twice plus two wide shuffles for work that is
+    per-document local. Row-for-row equivalence with the composed path
+    is pinned by tests/test_triples_fused.py and by sharing the same
+    DuckDB oracle (q:triples_all).
+
+    Reference parity: triplet_extractor.py:339-384 (fallback rule),
+    SURVEY.md §7.2 step 1 (patterns), content_models.py:55-82 (W5)."""
+    doc_id = F.col("doc_id")
+    # same validity contract as quarantine.span_guard_reason() for the
+    # kinds this operator consumes: known kind (the == test below) and a
+    # present, non-negative offset — so fused output matches the staged
+    # pipeline's post-quarantine triples
+    valid = F.filter(
+        F.col("spans"), lambda s: s["offset"].isNotNull() & (s["offset"] >= 0)
+    )
+    tbl = F.flatten(
+        F.transform(
+            F.filter(valid, lambda s: s["kind"] == "table"),
+            lambda s: _table_span_triples(doc_id, s, reference_strict),
+        )
+    )
+    txt = F.flatten(F.transform(_merged_sentences_arr(valid), _sentence_triples))
+    return (
+        docs.select(doc_id, F.explode(F.concat(tbl, txt)).alias("t"))
+        .select("doc_id", "t.*")
+    )

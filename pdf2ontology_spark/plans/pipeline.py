@@ -75,12 +75,23 @@ def run_kg_pipeline(
     bad_spans = st("quarantine_spans", lambda: rejected)
     cells = st("cells", lambda: tabulate.table_cells(spans))
     entries = st("entries", lambda: tabulate.semantic_entries(cells))
-    trips = st(
-        "triples",
-        lambda: triples.table_triples(entries, reference_strict).unionByName(
-            triples.text_triples(spans)
-        ),
-    )
+    if ckpt is None:
+        # no checkpoint store -> nothing materializes between stages, so
+        # the staged union would scan + parse the source corpus twice
+        # and shuffle for the tabulate/sentence windows; the fused plan
+        # is one scan, zero exchanges (tests/test_triples_fused.py pins
+        # equivalence; its span-validity guard matches split_spans)
+        trips = triples.all_triples_fused(docs, reference_strict)
+    else:
+        # resumable path: spans/entries are materialized parquet stages,
+        # so each branch reads the (cheap, local) checkpoint — keep the
+        # staged lineage that idempotent resume depends on
+        trips = st(
+            "triples",
+            lambda: triples.table_triples(entries, reference_strict).unionByName(
+                triples.text_triples(spans)
+            ),
+        )
     nodes_df = st("nodes", lambda: graph.nodes(trips))
     edges_df = st("edges", lambda: graph.edges(trips))
     return {

@@ -1,0 +1,85 @@
+"""Fused single-scan triple extraction: row-for-row equivalence with
+the composed (staged) path, and the plan guarantees that justify it —
+one corpus scan, zero exchanges."""
+
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark.operators import segment, tabulate, triples
+from pdf2ontology_spark.sources import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _spans(spark):
+    return segment.explode_spans(tables.load_documents_spans(spark, SF)).select(
+        "doc_id",
+        "kind",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "offset",
+    )
+
+
+def _composed(spark, strict=False):
+    sp = _spans(spark)
+    return triples.all_triples(
+        sp, tabulate.semantic_entries(tabulate.table_cells(sp)), strict
+    )
+
+
+def _assert_same_multiset(a, b):
+    # nullability flags are plan metadata, not data — compare name+type
+    sa = [(f.name, f.dataType) for f in a.schema.fields]
+    sb = [(f.name, f.dataType) for f in b.schema.fields]
+    assert sa == sb, f"\n{sa}\n!=\n{sb}"
+    only_a = a.exceptAll(b).count()
+    only_b = b.exceptAll(a).count()
+    assert only_a == 0 and only_b == 0, f"fused-only={only_a} composed-only={only_b}"
+
+
+def test_fused_equals_composed(spark):
+    docs = tables.load_documents_spans(spark, SF)
+    _assert_same_multiset(triples.all_triples_fused(docs), _composed(spark))
+
+
+def test_fused_equals_composed_strict(spark):
+    docs = tables.load_documents_spans(spark, SF)
+    _assert_same_multiset(
+        triples.all_triples_fused(docs, reference_strict=True),
+        _composed(spark, strict=True),
+    )
+
+
+def test_fused_plan_single_scan_no_exchange(spark):
+    """The whole point of the fusion: FileScan -> Project -> Generate,
+    ONE corpus read, ZERO shuffles (the composed path scans twice and
+    shuffles twice). A regression here silently doubles the 100TB read."""
+    docs = tables.load_documents_spans(spark, SF, repartition=False)
+    plan = triples.all_triples_fused(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_fused_malformed_table_json_tolerated(spark):
+    """F11: a table span with broken JSON yields no triples, no error;
+    the rest of the document still extracts."""
+    from pyspark.sql import Row
+
+    doc = [
+        Row(
+            doc_id="d1",
+            spans=[
+                Row(kind="table", text="{not json", media_ref="", offset=0),
+                Row(
+                    kind="text",
+                    text="Die Anlage Pumpe P-100 befindet sich im Kesselhaus.",
+                    media_ref="",
+                    offset=1,
+                ),
+            ],
+        )
+    ]
+    out = triples.all_triples_fused(spark.createDataFrame(doc)).collect()
+    assert len(out) == 1
+    assert out[0].predicate == "located_in" and out[0].obj_name == "Kesselhaus"

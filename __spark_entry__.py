@@ -121,6 +121,33 @@ def q_triples_all(spark, sf_dir):
     return _all_triples(spark, sf_dir)
 
 
+# demonstration operating points: the reference defaults (200 triples /
+# 100 entities per doc, /root/reference/config.py:21-22) never bind on
+# the reference-scale corpus (~13 triples/doc), so the driver queries
+# use tighter caps that actually truncate — the operators default to
+# the reference values (triples.MAX_TRIPLES_PER_DOC / MAX_ENTITIES_PER_DOC)
+CAP_TRIPLES_DEMO = 10
+CAP_ENTITIES_DEMO = 5
+
+
+def q_triples_capped(spark, sf_dir):
+    return triples.cap_triples_per_doc(
+        _all_triples(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
+    )
+
+
+def q_triples_cap_accounting(spark, sf_dir):
+    return triples.cap_accounting(
+        _all_triples(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
+    )
+
+
+def q_entities_capped(spark, sf_dir):
+    return triples.entities_per_doc_capped(
+        _all_triples(spark, sf_dir), max_entities=CAP_ENTITIES_DEMO
+    )
+
+
 def q_entities_distinct(spark, sf_dir):
     return graph.entities_distinct(_all_triples(spark, sf_dir))
 
@@ -475,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_table_strict": q_triples_table_strict,
         "triples_text": q_triples_text,
         "triples_all": q_triples_all,
+        "triples_capped": q_triples_capped,
+        "triples_cap_accounting": q_triples_cap_accounting,
+        "entities_capped": q_entities_capped,
         "entities_distinct": q_entities_distinct,
         "entity_type_histogram": q_entity_type_histogram,
         "nodes": q_nodes,
@@ -572,6 +602,11 @@ entries_capped AS (
         + "\nSELECT * FROM table_triples",
         "triples_text": W + "," + o.text_triples_cte() + "\nSELECT * FROM text_triples",
         "triples_all": o.all_triples_sql(tag),
+        "triples_capped": o.triples_capped_sql(tag, max_per_doc=CAP_TRIPLES_DEMO),
+        "triples_cap_accounting": o.cap_accounting_sql(
+            tag, max_per_doc=CAP_TRIPLES_DEMO
+        ),
+        "entities_capped": o.entities_capped_sql(tag, max_entities=CAP_ENTITIES_DEMO),
         "entities_distinct": TP
         + ","
         + o.mentions_cte()

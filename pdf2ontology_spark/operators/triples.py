@@ -149,6 +149,93 @@ def _triple_struct(
     )
 
 
+# --------------------------------------------------- reference caps
+# The reference truncates each document's extraction result:
+# MAX_ENTITIES_PER_EXTRACTION = 100, MAX_TRIPLETS_PER_DOCUMENT = 200
+# (/root/reference/config.py:21-22). The engine keeps ALL rows by
+# default (no silent data loss at scale); these operators reproduce the
+# caps when requested, over a CANONICAL deterministic order (the
+# reference's order is its in-memory extraction order, which has no
+# stable analog in a distributed multiset), and the truncation is
+# ACCOUNTED (SURVEY.md §4.1: "log via _metrics when truncating").
+MAX_TRIPLES_PER_DOC = 200
+MAX_ENTITIES_PER_DOC = 100
+
+# total order within a document: rows equal on this key are fully
+# identical (obj_type/subj_type/confidence are functions of these), so
+# the capped MULTISET is deterministic on both engines
+_CAP_ORDER = ["extraction_method", "table_id", "subj_name", "predicate",
+              "obj_name", "source_sentence"]
+
+
+def cap_triples_per_doc(
+    triples_df: DataFrame, max_per_doc: int = MAX_TRIPLES_PER_DOC
+) -> DataFrame:
+    """First ``max_per_doc`` triples per document in canonical order —
+    the MAX_TRIPLETS_PER_DOCUMENT reproduction. One window shuffle on
+    doc_id; per-doc state is bounded by the cap itself."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("extraction_method").asc(),
+        F.col("table_id").asc_nulls_first(),
+        *[F.col(c).asc() for c in _CAP_ORDER[2:]],
+    )
+    return (
+        triples_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_doc)
+        .drop("_rn")
+    )
+
+
+def cap_accounting(
+    triples_df: DataFrame, max_per_doc: int = MAX_TRIPLES_PER_DOC
+) -> DataFrame:
+    """One metrics row making the truncation explicit: how many docs
+    exceeded the cap and how many triples the cap would drop."""
+    counts = triples_df.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum(F.when(F.col("n") > max_per_doc, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum(F.greatest(F.col("n") - max_per_doc, F.lit(0)))
+        .cast("long")
+        .alias("triples_dropped"),
+    )
+
+
+def entities_per_doc_capped(
+    triples_df: DataFrame, max_entities: int = MAX_ENTITIES_PER_DOC
+) -> DataFrame:
+    """First ``max_entities`` DISTINCT (name, entity_type) mentions per
+    document in canonical (entity_type, name) order — the
+    MAX_ENTITIES_PER_EXTRACTION reproduction. Returns
+    (doc_id, name, entity_type, rk)."""
+    m = (
+        triples_df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj_name").alias("name"),
+                        F.col("subj_type").alias("entity_type"),
+                    ),
+                    F.struct(
+                        F.col("obj_name").alias("name"),
+                        F.col("obj_type").alias("entity_type"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("doc_id", "m.name", "m.entity_type")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("entity_type", "name")
+    return (
+        m.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= max_entities)
+    )
+
+
 def _bind(expr: Column, f) -> Column:
     """Evaluate ``expr`` ONCE and pass the materialized value into
     ``f`` as a higher-order-function lambda variable. Catalyst does NOT

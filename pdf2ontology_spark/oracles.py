@@ -182,6 +182,60 @@ def triples_prefix(tag: str = "sf0.01") -> str:
     )
 
 
+_CAP_ORDER_SQL = (
+    "extraction_method ASC, table_id ASC NULLS FIRST, subj_name ASC, "
+    "predicate ASC, obj_name ASC, source_sentence ASC"
+)
+
+
+def triples_capped_sql(tag: str = "sf0.01", max_per_doc: int = 200) -> str:
+    """Twin of triples.cap_triples_per_doc (MAX_TRIPLETS_PER_DOCUMENT,
+    /root/reference/config.py:22): first N per doc in canonical order.
+    NULLS FIRST is explicit — DuckDB defaults to NULLS LAST on ASC,
+    Spark to nulls first."""
+    return (
+        triples_prefix(tag)
+        + f""",
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY {_CAP_ORDER_SQL}) AS rn
+  FROM triples)
+SELECT doc_id, table_id, subj_name, subj_type, predicate, obj_name, obj_type,
+       confidence, source_sentence, extraction_method
+FROM ranked WHERE rn <= {max_per_doc}"""
+    )
+
+
+def cap_accounting_sql(tag: str = "sf0.01", max_per_doc: int = 200) -> str:
+    """Twin of triples.cap_accounting: the truncation metrics row."""
+    return (
+        triples_prefix(tag)
+        + f""",
+counts AS (SELECT doc_id, count(*) AS n FROM triples GROUP BY doc_id)
+SELECT CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(CASE WHEN n > {max_per_doc} THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+       CAST(sum(greatest(n - {max_per_doc}, 0)) AS BIGINT) AS triples_dropped
+FROM counts"""
+    )
+
+
+def entities_capped_sql(tag: str = "sf0.01", max_entities: int = 100) -> str:
+    """Twin of triples.entities_per_doc_capped
+    (MAX_ENTITIES_PER_EXTRACTION, /root/reference/config.py:21)."""
+    return (
+        triples_prefix(tag)
+        + f""",
+m AS (SELECT doc_id, subj_name AS name, subj_type AS entity_type FROM triples
+      UNION
+      SELECT doc_id, obj_name, obj_type FROM triples),
+ranked AS (
+  SELECT doc_id, name, entity_type,
+         row_number() OVER (PARTITION BY doc_id ORDER BY entity_type, name) AS rk
+  FROM m)
+SELECT doc_id, name, entity_type, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {max_entities}"""
+    )
+
+
 def normalize_sql(col: str) -> str:
     """SQL twin of graph.normalize_name_col (note 'g' flags)."""
     s = f"trim(lower({col}))"

@@ -172,3 +172,43 @@ def test_ner_typ_products_umlauts_and_boundaries(spark):
     assert ("Müller AG", "organization") in got       # umlaut interior
     # 'Halle 3' must NOT fire inside 'Halle 34' (word boundary)
     assert ("Halle 3", "location") not in got
+
+
+def test_reference_caps_and_accounting(spark):
+    """MAX_TRIPLETS_PER_DOCUMENT / MAX_ENTITIES_PER_EXTRACTION
+    reproduction (reference config.py:21-22): deterministic first-N per
+    doc, with the truncation accounted instead of silent."""
+    from pyspark.sql import functions as F
+
+    from pdf2ontology_spark.operators import triples as tr
+
+    rows = [
+        ("d1", None, f"s{i:03d}", "concept", "related_to", f"o{i:03d}", "other",
+         0.6, f"s{i:03d} has value of o{i:03d}", "fallback_rule_based")
+        for i in range(7)
+    ] + [
+        ("d2", None, "a", "concept", "related_to", "b", "other",
+         0.6, "a has value of b", "fallback_rule_based")
+    ]
+    schema = ("doc_id string, table_id string, subj_name string, subj_type string, "
+              "predicate string, obj_name string, obj_type string, confidence double, "
+              "source_sentence string, extraction_method string")
+    df = spark.createDataFrame(rows, schema)
+
+    capped = tr.cap_triples_per_doc(df, max_per_doc=5)
+    per_doc = {r.doc_id: r.n for r in capped.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {"d1": 5, "d2": 1}
+    # deterministic: the kept d1 rows are the 5 smallest subj_names
+    kept = sorted(r.subj_name for r in capped.filter("doc_id = 'd1'").collect())
+    assert kept == [f"s{i:03d}" for i in range(5)]
+
+    acct = tr.cap_accounting(df, max_per_doc=5).collect()[0]
+    assert (acct.docs_total, acct.docs_truncated, acct.triples_dropped) == (2, 1, 2)
+
+    ents = tr.entities_per_doc_capped(df, max_entities=3)
+    per_doc_e = {r.doc_id: r.n for r in ents.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc_e == {"d1": 3, "d2": 2}
+
+    # the reference defaults never bind on small extractions
+    assert tr.cap_triples_per_doc(df).count() == df.count()
+    assert tr.entities_per_doc_capped(df).count() == 16

@@ -305,6 +305,36 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _recall_row(lsh: DataFrame, brute: DataFrame, keys: list[str]) -> DataFrame:
+    """One row (n_brute, n_hits, recall): |lsh ∩ brute| / |brute| — the
+    approximate ops' operating point made explicit and regression-
+    guarded (similarity.lsh_topk docstring: 'report alongside brute')."""
+    b = brute.agg(F.count("*").cast("long").alias("n_brute"))
+    h = brute.join(lsh, keys).agg(F.count("*").cast("long").alias("n_hits"))
+    return b.crossJoin(h).withColumn(
+        "recall", F.round(F.col("n_hits") / F.col("n_brute"), 4)
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return _recall_row(
+        similarity.lsh_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        similarity.brute_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+    )
+
+
+def q_embedding_pairs_recall(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return _recall_row(
+        dedup.embedding_cosine_pairs(emb, threshold=0.45).select("id_a", "id_b"),
+        dedup.embedding_cosine_pairs_brute(emb, threshold=0.45).select("id_a", "id_b"),
+        ["id_a", "id_b"],
+    )
+
+
 # ------------------------------------------------------ text analysis
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_documents(spark, sf_dir), "doc_id", "text")
@@ -526,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs_brute": q_embedding_cosine_pairs_brute,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "embedding_pairs_recall": q_embedding_pairs_recall,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -732,6 +764,10 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "embedding_cosine_pairs_brute": oracles_data.embedding_pairs_sql(threshold=0.45),
         "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),
         "ann_lsh_topk": oracles_data.ann_lsh_sql(k=5, n_queries=8),
+        "ann_recall": oracles_data.ann_recall_sql(k=5, n_queries=8),
+        "embedding_pairs_recall": oracles_data.embedding_pairs_recall_sql(
+            threshold=0.45
+        ),
         "lang_id": oracles_data.lang_id_sql(),
         "quality_score": oracles_data.quality_sql(),
         "token_count": oracles_data.token_count_sql(),

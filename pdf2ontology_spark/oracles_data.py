@@ -231,6 +231,37 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def ann_recall_sql(k: int = 5, n_queries: int = 8) -> str:
+    """Recall of the LSH ANN vs the exact brute-force top-k:
+    |lsh ∩ brute| / |brute| as one explicit, regression-guarded row."""
+    return f"""
+WITH brute AS (SELECT query_id, corpus_id FROM ({ann_brute_sql(k, n_queries)})),
+lsh AS (SELECT query_id, corpus_id FROM ({ann_lsh_sql(k, n_queries)})),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN lsh USING (query_id, corpus_id))
+SELECT b.n_brute, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / b.n_brute, 4) AS recall
+FROM b, h"""
+
+
+def embedding_pairs_recall_sql(
+    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 8
+) -> str:
+    """Recall of the banded-LSH near-dup pairs vs the exhaustive
+    baseline at the same threshold."""
+    return f"""
+WITH brute AS (SELECT id_a, id_b FROM ({embedding_pairs_sql(threshold)})),
+lsh AS (SELECT id_a, id_b
+        FROM ({embedding_pairs_lsh_sql(threshold, planes_per_band, bands)})),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN lsh USING (id_a, id_b))
+SELECT b.n_brute, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / b.n_brute, 4) AS recall
+FROM b, h"""
+
+
 def _stop_list(stops: list[str]) -> str:
     return "[" + ", ".join(f"'{s}'" for s in stops) + "]"
 

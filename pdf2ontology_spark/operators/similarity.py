@@ -211,19 +211,45 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = PLANES,
+    planes_per_band: int = PLANES,
+    bands: int = 8,
 ) -> DataFrame:
-    """ANN top-k: bucket by hyperplane signature, exact re-rank within
-    the bucket. Recall < 1 by construction (report alongside brute)."""
-    corpus = signatures(emb, id_col, vec_col, planes).select(
-        F.col("id").alias("corpus_id"), F.col("v").alias("cv"), F.col("sig")
+    """ANN top-k: banded multi-table hyperplane LSH with 1-bit
+    multi-probe — candidates are corpus vectors sharing ANY band bucket
+    (within hamming 1) with the query; exact cosine re-ranks.
+
+    The first construction here was a SINGLE exact-equality signature
+    table: measured recall vs brute was 0.05 (q:ann_recall) — one
+    8-bit bucket must match exactly, P = (1-theta/pi)^8 per query. The
+    multi-table + probe construction lifts per-band match probability
+    to P(hamming<=1) and unions 8 independent bands, the same recall
+    shape as ``dedup.embedding_cosine_pairs``. Recall < 1 remains by
+    construction and is measured by q:ann_recall.
+
+    Scale: corpus band signatures are precomputable/storable; the query
+    side is broadcast; candidate volume per query is
+    ~bands * probes * n/2^planes_per_band."""
+    corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
+    probed = probe_signatures(corpus_bb, planes_per_band).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    q_bb = banded_signatures(queries, id_col, vec_col, planes_per_band, bands
+                             ).withColumnRenamed("id", "query_id")
+    cand = (
+        probed.join(F.broadcast(q_bb), ["band", "band_key"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
-    q = signatures(queries, id_col, vec_col, planes).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("sig")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
     scored = (
-        corpus.join(F.broadcast(q), "sig")
-        .filter(F.col("corpus_id") != F.col("query_id"))
+        cand.join(corpus, "corpus_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))

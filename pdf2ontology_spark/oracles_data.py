@@ -212,16 +212,35 @@ FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
 WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= {threshold} - 1e-9"""
 
 
-def ann_lsh_sql(k: int = 5, n_queries: int = 8) -> str:
+def ann_lsh_sql(
+    k: int = 5, n_queries: int = 8, planes_per_band: int = 8, bands: int = 8
+) -> str:
+    """Twin of similarity.lsh_topk: banded multi-table hyperplane LSH
+    with 1-bit multi-probe (query exact keys vs corpus probed keys) +
+    exact cosine rerank."""
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, "
+        f"{_band_sig_sql('v', b * planes_per_band, planes_per_band)} AS band_key FROM v"
+        for b in range(bands)
+    )
+    probes = ", ".join(
+        ["band_key"] + [f"xor(band_key, {1 << j})" for j in range(planes_per_band)]
+    )
     return f"""
-WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-sigs AS (SELECT id, v, {_sig_sql("v")} AS sig FROM v),
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+bb AS MATERIALIZED (
+{band_selects}),
+probed AS MATERIALIZED (
+  SELECT id, band, unnest([{probes}]) AS band_key FROM bb),
+cand AS MATERIALIZED (
+  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+  FROM bb q JOIN probed c ON q.band = c.band AND q.band_key = c.band_key
+  WHERE q.id < {n_queries} AND c.id <> q.id),
 scored AS (
-  SELECT q.id AS query_id, c.id AS corpus_id,
-         list_cosine_similarity(q.v, c.v) AS cos_raw
-  FROM sigs q JOIN sigs c ON c.sig = q.sig AND c.id <> q.id
-  WHERE q.id < {n_queries}),
+  SELECT query_id, corpus_id, list_cosine_similarity(vq.v, vc.v) AS cos_raw
+  FROM cand JOIN v vq ON vq.id = cand.query_id JOIN v vc ON vc.id = cand.corpus_id),
 ranked AS (
   SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
          row_number() OVER (PARTITION BY query_id

@@ -168,6 +168,7 @@ def q_nodes(spark, sf_dir):
         F.array_join("mentions", "|").alias("mentions_joined"),
         "uri",
         F.to_json("external_ids").alias("external_ids_json"),
+        F.to_json("properties").alias("properties_json"),
     )
 
 
@@ -182,6 +183,7 @@ def q_edges(spark, sf_dir):
         F.col("negated").cast("int").alias("negated"),
         F.coalesce("modality", F.lit("")).alias("modality"),
         F.array_join("evidence", "|").alias("evidence_joined"),
+        F.to_json("metadata").alias("metadata_json"),
     )
 
 
@@ -671,12 +673,17 @@ base AS (
        p.entity_type,
        string_agg(p.name, '|' ORDER BY p.name) AS aliases_joined,
        CAST(sum(p.n) AS BIGINT) AS mention_count,
-       max(p.max_conf) AS confidence
+       max(p.max_conf) AS confidence,
+       '{{"n_surfaces":"' || CAST(count(*) AS VARCHAR)
+         || '","top_surface_count":"' || CAST(max(p.n) AS VARCHAR) || '"}}'
+         AS properties_json
   FROM ranked p GROUP BY p.entity_id, p.entity_type)
-SELECT b.*, m.mentions_joined,
+SELECT b.entity_id, b.name, b.canonical_form, b.entity_type,
+       b.aliases_joined, b.mention_count, b.confidence, m.mentions_joined,
        'urn:entity:' || b.entity_type || ':' || b.entity_id AS uri,
        '{{"urn":"urn:entity:' || b.entity_type || ':' || b.entity_id || '"}}'
-         AS external_ids_json
+         AS external_ids_json,
+       b.properties_json
 FROM base b JOIN ment m
   ON m.entity_id = b.entity_id AND m.entity_type = b.entity_type""",
         "edges": TP
@@ -684,17 +691,22 @@ FROM base b JOIN ment m
 e AS (
   SELECT {o.entity_id_sql("subj_name", "subj_type")} AS subject_id, predicate,
          {o.entity_id_sql("obj_name", "obj_type")} AS object_id, confidence,
-         source_sentence
+         source_sentence, extraction_method
   FROM triples),
 agg AS (
   SELECT subject_id, predicate, object_id,
          CAST(count(*) AS DOUBLE) AS weight, max(confidence) AS confidence,
          array_to_string(list_slice(list_sort(list(DISTINCT source_sentence)), 1, 3),
-                         '|') AS evidence_joined
+                         '|') AS evidence_joined,
+         '{{"n_evidence":"'
+           || CAST(least(count(DISTINCT source_sentence), 3) AS VARCHAR)
+           || '","methods":"'
+           || string_agg(DISTINCT extraction_method, ',' ORDER BY extraction_method)
+           || '"}}' AS metadata_json
   FROM e GROUP BY 1, 2, 3)
 SELECT sha256(subject_id || chr(31) || predicate || chr(31) || object_id) AS edge_id,
        subject_id, predicate, object_id, weight, confidence,
-       0 AS negated, '' AS modality, evidence_joined
+       0 AS negated, '' AS modality, evidence_joined, metadata_json
 FROM agg""",
         "graph_integrity": TP
         + f""",

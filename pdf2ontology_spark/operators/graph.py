@@ -148,6 +148,7 @@ def nodes(triples: DataFrame) -> DataFrame:
         ),
         F.array_sort(F.collect_set("name")).alias("aliases"),
         F.sum("n").cast("long").alias("mention_count"),
+        F.max("n").cast("long").alias("top_surface_count"),
         F.max("max_conf").alias("confidence"),
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("mention_ex")))), 1, 3
@@ -157,6 +158,14 @@ def nodes(triples: DataFrame) -> DataFrame:
     # Entity.uri / Entity.external_ids (knowledge_models.py:47-55) with
     # real content: a deterministic URN derived from the canonical id
     uri = F.concat_ws(":", F.lit("urn"), F.lit("entity"), "entity_type", "entity_id")
+    # properties fills Entity.properties (knowledge_models.py:37-40,
+    # LLM-populated Dict in the reference) with real surface statistics
+    properties = F.create_map(
+        F.lit("n_surfaces"),
+        F.size("aliases").cast("string"),
+        F.lit("top_surface_count"),
+        F.col("top_surface_count").cast("string"),
+    )
     return out.select(
         "entity_id",
         F.col("canonical_form").alias("name"),
@@ -168,6 +177,7 @@ def nodes(triples: DataFrame) -> DataFrame:
         "mentions",
         uri.alias("uri"),
         F.create_map(F.lit("urn"), uri).alias("external_ids"),
+        properties.alias("properties"),
     )
 
 
@@ -208,7 +218,14 @@ def edges(triples: DataFrame) -> DataFrame:
     e = (
         triples.join(subj_dim, ["subj_name", "subj_type"])
         .join(obj_dim, ["obj_name", "obj_type"])
-        .select("subject_id", "predicate", "object_id", "confidence", "source_sentence")
+        .select(
+            "subject_id",
+            "predicate",
+            "object_id",
+            "confidence",
+            "source_sentence",
+            "extraction_method",
+        )
     )
     agg = e.groupBy("subject_id", "predicate", "object_id").agg(
         F.count("*").cast("double").alias("weight"),
@@ -216,6 +233,15 @@ def edges(triples: DataFrame) -> DataFrame:
         # Relation.evidence (knowledge_models.py:94-97): top-3 distinct
         # supporting sentences, deterministic (sorted) and size-capped
         F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias("evidence"),
+        F.array_sort(F.collect_set("extraction_method")).alias("_methods"),
+    )
+    # metadata fills Relation.metadata (knowledge_models.py:59-62) with
+    # real provenance: evidence count + contributing extraction methods
+    metadata = F.create_map(
+        F.lit("n_evidence"),
+        F.size("evidence").cast("string"),
+        F.lit("methods"),
+        F.array_join("_methods", ","),
     )
     return agg.select(
         F.sha2(F.concat_ws(SEP, "subject_id", "predicate", "object_id"), 256).alias(
@@ -232,6 +258,7 @@ def edges(triples: DataFrame) -> DataFrame:
         F.lit(False).alias("negated"),
         F.lit(None).cast("string").alias("modality"),
         "evidence",
+        metadata.alias("metadata"),
     )
 
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pdf2ontology_spark import oracles
 from pdf2ontology_spark.operators.dedup import LSH_BANDS, MINHASH_K, SHINGLE_W, SIMHASH_BITS
-from pdf2ontology_spark.operators.similarity import PLANES
 from pdf2ontology_spark.operators.text import DE_STOP, EN_STOP, TOKEN_RE
 
 
@@ -176,11 +175,6 @@ def _band_sig_sql(vcol: str, offset: int, nbits: int) -> str:
         )
         projs.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
     return "CAST(" + " + ".join(projs) + " AS INTEGER)"
-
-
-def _sig_sql(vcol: str) -> str:
-    """planes-bit hyperplane signature of a double list column."""
-    return _band_sig_sql(vcol, 0, PLANES)
 
 
 def embedding_pairs_lsh_sql(

@@ -55,12 +55,15 @@ How to read this (the 100 TB checklist):
 - **ReadSchema** pruned to used columns — the TPC-H-style queries read
   3-4 columns, not the table; the spans scans read the full nested
   struct because every field is consumed.
-- **Exchange count** = shuffle budget. triples_all: repartition-after-
-  scan (x2 branches) + the single (doc_id, table_id) window exchange +
-  merge window — all keyed shuffles AQE can coalesce. The LSH
-  canonicalization is the most exchange-heavy plan by design (blocking
-  join + iterative components) and is exactly the stage the north rule
-  says to pay for.
+- **Exchange count** = shuffle budget (NOTE: formatted explain prints
+  each node twice — tree + detail — so the raw counts below are 2x the
+  physical node count). triples_all is the FUSED single-scan plan:
+  FileScan -> Project -> Generate, ONE corpus read, zero extraction
+  shuffles (its only exchange is the loader's small-file repartition,
+  which disappears at bench scale where row-group splits cover the
+  cores). The LSH canonicalization is the most exchange-heavy plan by
+  design (blocking join + iterative components) and is exactly the
+  stage the north rule says to pay for.
 - **Broadcast** on every dimension-sided join (region/nation rollup,
   query-side of ANN, minhash band self-join probe side).
 - Whole-stage codegen covers the expression spine everywhere; the ONLY
@@ -76,8 +79,10 @@ How to read this (the 100 TB checklist):
         pushed_nonempty = [p for p in pushed if p.strip()]
         scans = re.findall(r"ReadSchema: ([^\n]+)", plan)
         out.append(f"## {name}\n")
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         out.append(
-            f"- exchanges (shuffles incl. broadcast): {n_exchange}; "
+            f"- parquet scans: {n_scans}; "
+            f"exchanges (raw matches, 2x per node): {n_exchange}; "
             f"broadcast joins/exchanges: {n_bcast}\n"
             f"- scans with pushed filters: {len(pushed_nonempty)}/{len(pushed)}\n"
         )

@@ -285,8 +285,11 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
+    # planes_per_band pinned to the oracle's fixed construction: the
+    # operator's default auto-sizes from the corpus count, which would
+    # silently diverge from the static SQL twin past 16,384 vectors
     return dedup.embedding_cosine_pairs(
-        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45, planes_per_band=8
     )
 
 
@@ -331,7 +334,9 @@ def q_ann_recall(spark, sf_dir):
 def q_embedding_pairs_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return _recall_row(
-        dedup.embedding_cosine_pairs(emb, threshold=0.45).select("id_a", "id_b"),
+        dedup.embedding_cosine_pairs(emb, threshold=0.45, planes_per_band=8).select(
+            "id_a", "id_b"
+        ),
         dedup.embedding_cosine_pairs_brute(emb, threshold=0.45).select("id_a", "id_b"),
         ["id_a", "id_b"],
     )

@@ -85,9 +85,13 @@ def _checked_vec(vec_col: str, dim: int) -> Column:
     prune the check away."""
     ok = F.assert_true(
         F.size(F.col(vec_col)) == F.lit(dim),
+        # coalesce: a NULL vector must raise a NAMED error, not a
+        # message-less one (concat with NULL would null the message)
         F.concat(
             F.lit(f"embedding dimension mismatch: expected {dim}, got "),
-            F.size(F.col(vec_col)).cast("string"),
+            F.coalesce(
+                F.size(F.col(vec_col)).cast("string"), F.lit("NULL (missing vector)")
+            ),
         ),
     )
     return F.when(ok.isNull(), _as_double(F.col(vec_col)))
@@ -227,16 +231,21 @@ def lsh_topk(
     construction and is measured by q:ann_recall.
 
     Scale: corpus band signatures are precomputable/storable; the query
-    side is broadcast; candidate volume per query is
+    side is broadcast, and the 1-bit probe expansion is applied to the
+    TINY query side (hamming <= 1 is symmetric, so probing either side
+    yields the identical candidate set — probing the corpus side would
+    stream ~(planes_per_band+1)x the large-side rows through the join
+    for nothing). Candidate volume per query is
     ~bands * probes * n/2^planes_per_band."""
-    corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
-    probed = probe_signatures(corpus_bb, planes_per_band).withColumnRenamed(
-        "id", "corpus_id"
-    )
+    corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands
+                                  ).withColumnRenamed("id", "corpus_id")
     q_bb = banded_signatures(queries, id_col, vec_col, planes_per_band, bands
                              ).withColumnRenamed("id", "query_id")
+    probed_q = probe_signatures(
+        q_bb.withColumnRenamed("query_id", "id"), planes_per_band
+    ).withColumnRenamed("id", "query_id")
     cand = (
-        probed.join(F.broadcast(q_bb), ["band", "band_key"])
+        corpus_bb.join(F.broadcast(probed_q), ["band", "band_key"])
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id")
         .distinct()

@@ -431,11 +431,26 @@ def _cells_triples(table_id: Column, cells: Column, reference_strict: bool) -> C
 
 def _merged_sentences_arr(spans_col: Column) -> Column:
     """Array of (offset, sentence) structs: the W5 cross-span merge as a
-    per-document fold over the (offset-ordered by input invariant) text
-    spans — same terminator rule as segment.merged_text_sentences, but
-    with NO doc_id shuffle: the session window collapses to
-    F.aggregate, because the whole document is already one row."""
-    texts = F.filter(spans_col, lambda s: s["kind"] == "text")
+    per-document fold over the text spans — same terminator rule as
+    segment.merged_text_sentences, but with NO doc_id shuffle: the
+    session window collapses to F.aggregate, because the whole document
+    is already one row. Spans are explicitly sorted by offset first
+    (the input invariant says they are stored sorted, but the staged
+    twin re-sorts via its window, so a violating document must not
+    produce silently different triples here).
+
+    NULL-text spans replicate the staged window exactly: the span
+    contributes nothing to its run and the NEXT span starts a new run
+    (staged: lag(text).isNull() starts a run; array_join drops the null
+    element). The staged path also materializes an all-NULL run as an
+    empty-sentence row; no pattern can match '' so the fold skips it —
+    triple output is identical (the pinned equivalence target)."""
+    texts = F.array_sort(
+        F.filter(spans_col, lambda s: s["kind"] == "text"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
     sent_t = "array<struct<offset int, sentence string>>"
     init = F.struct(
         F.array().cast(sent_t).alias("done"),
@@ -443,34 +458,8 @@ def _merged_sentences_arr(spans_col: Column) -> Column:
         F.lit(None).cast("int").alias("cur_off"),
     )
 
-    def step(acc: Column, s: Column) -> Column:
-        txt = F.coalesce(s["text"], F.lit(""))
-        new_cur = F.when(acc["cur"].isNull(), txt).otherwise(
-            F.concat(acc["cur"], F.lit(" "), txt)
-        )
-        # cast: inline test data infers python ints as bigint; the
-        # accumulator struct is pinned to the parquet schema's int32
-        new_off = (
-            F.when(acc["cur"].isNull(), s["offset"]).otherwise(acc["cur_off"]).cast("int")
-        )
-        terminated = txt.rlike(rules.TERMINATOR_RE) & ~txt.rlike(rules.ABBREV_RE)
-        return F.when(
-            terminated,
-            F.struct(
-                F.concat(
-                    acc["done"],
-                    F.array(
-                        F.struct(new_off.alias("offset"), new_cur.alias("sentence"))
-                    ),
-                ).alias("done"),
-                F.lit(None).cast("string").alias("cur"),
-                F.lit(None).cast("int").alias("cur_off"),
-            ),
-        ).otherwise(
-            F.struct(acc["done"].alias("done"), new_cur.alias("cur"), new_off.alias("cur_off"))
-        )
-
-    def finish(acc: Column) -> Column:
+    def flushed(acc: Column) -> Column:
+        """done ++ the open run (if any), without appending new text."""
         return F.when(acc["cur"].isNull(), acc["done"]).otherwise(
             F.concat(
                 acc["done"],
@@ -482,7 +471,43 @@ def _merged_sentences_arr(spans_col: Column) -> Column:
             )
         )
 
-    return F.aggregate(texts, init, step, finish)
+    def step(acc: Column, s: Column) -> Column:
+        txt = s["text"]
+        new_cur = F.when(acc["cur"].isNull(), txt).otherwise(
+            F.concat(acc["cur"], F.lit(" "), txt)
+        )
+        # cast: inline test data infers python ints as bigint; the
+        # accumulator struct is pinned to the parquet schema's int32
+        new_off = (
+            F.when(acc["cur"].isNull(), s["offset"]).otherwise(acc["cur_off"]).cast("int")
+        )
+        terminated = txt.rlike(rules.TERMINATOR_RE) & ~txt.rlike(rules.ABBREV_RE)
+        reset = [
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(None).cast("int").alias("cur_off"),
+        ]
+        return (
+            F.when(txt.isNull(), F.struct(flushed(acc).alias("done"), *reset))
+            .when(
+                terminated,
+                F.struct(
+                    F.concat(
+                        acc["done"],
+                        F.array(
+                            F.struct(new_off.alias("offset"), new_cur.alias("sentence"))
+                        ),
+                    ).alias("done"),
+                    *reset,
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    acc["done"].alias("done"), new_cur.alias("cur"), new_off.alias("cur_off")
+                )
+            )
+        )
+
+    return F.aggregate(texts, init, step, flushed)
 
 
 def _sentence_triples(sent: Column) -> Column:

@@ -210,8 +210,10 @@ def ann_lsh_sql(
     k: int = 5, n_queries: int = 8, planes_per_band: int = 8, bands: int = 8
 ) -> str:
     """Twin of similarity.lsh_topk: banded multi-table hyperplane LSH
-    with 1-bit multi-probe (query exact keys vs corpus probed keys) +
-    exact cosine rerank."""
+    with 1-bit multi-probe + exact cosine rerank. The SQL probes the
+    corpus side while the engine probes the (tiny broadcast) query side
+    — hamming <= 1 is symmetric, so the candidate sets are identical;
+    only the engine cares about which side carries the 9x expansion."""
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT id, {b} AS band, "
         f"{_band_sig_sql('v', b * planes_per_band, planes_per_band)} AS band_key FROM v"

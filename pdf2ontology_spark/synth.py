@@ -29,6 +29,12 @@ import pyarrow.parquet as pq
 from pdf2ontology_spark import rules
 
 GEN_VERSION = 8  # bump to invalidate cached parquet
+# one row group per generation chunk (~1.2MB compressed at CHUNK=5000):
+# row groups are the atomic scan-split unit AND each carries footer
+# metadata — 2048-row groups gave the 2.4M-doc corpus a 1,172-entry
+# footer parsed by every scan task. Tracked in the cache meta so
+# changing it regenerates.
+ROW_GROUP_ROWS = 16384
 DEFAULT_SEED = 42
 SYNTH_BASE = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/root/repo/data/synth")
 CHUNK = 5000  # docs per deterministic generation chunk
@@ -579,7 +585,12 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
     }
     needed = ["documents_spans"] + (["golden_triples", "org_mentions"] if with_goldens else [])
     meta_path = os.path.join(out, "_meta.json")
-    want_meta = {"version": GEN_VERSION, "n_docs": n_docs, "seed": seed}
+    want_meta = {
+        "version": GEN_VERSION,
+        "n_docs": n_docs,
+        "seed": seed,
+        "row_group": ROW_GROUP_ROWS,
+    }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == want_meta and all(os.path.exists(paths[p]) for p in needed):
@@ -594,7 +605,7 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
             return
         if path not in writers:
             writers[path] = pq.ParquetWriter(path, tbl.schema)
-        writers[path].write_table(tbl, row_group_size=2048)
+        writers[path].write_table(tbl, row_group_size=ROW_GROUP_ROWS)
 
     if len(starts) <= 1:
         chunks = iter([_generate_chunk(seed, 0, n_docs)])

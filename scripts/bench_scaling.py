@@ -226,19 +226,24 @@ partition-parallelism is the limit.
 
 ## Round-over-round fixes found by this harness
 
-- Round 1 measured the graph job at 0.36 efficiency. Root cause (via
-  per-task histograms): the benchmark's triples checkpoint was written
-  as 8 files x ONE 95MB parquet row group; a row group is the atomic
-  scan-split unit, so every downstream job was capped at 8-way scan
-  parallelism. All checkpoint/table writers now use 16MB row groups —
-  graph efficiency 0.36 -> ~0.52.
-- The extraction job's post-scan repartition shuffled the entire nested
-  corpus (~600MB of strings) even when scan splits already covered the
+- Round 1: the benchmark's triples checkpoint was written as 8 files x
+  ONE 95MB parquet row group; a row group is the atomic scan-split
+  unit, so every downstream job was capped at 8-way scan parallelism.
+  All checkpoint/table writers now use 16MB row groups.
+- Round 2: the extraction job's post-scan repartition shuffled the
+  entire nested corpus even when scan splits already covered the
   cores; the loader now repartitions only when the file's split count
-  would under-use the shuffle width — triples efficiency ~0.45 -> ~0.58.
-- The connected-components loop re-evaluated its uncached pair-
-  generation plan (LSH banding included) once per round; the edge list
-  is localCheckpoint-ed once.
+  would under-use the shuffle width. The connected-components loop
+  re-evaluated its uncached pair-generation plan once per round; the
+  edge list is localCheckpoint-ed once.
+- Round 3: triple extraction was FUSED into a single-scan, zero-shuffle
+  plan (tabulate windows -> in-row array expressions, sentence merge ->
+  per-doc fold), roughly doubling absolute triples/sec. The per-task
+  histograms then exposed WAVE QUANTIZATION as the next ceiling: the
+  2.4M-doc corpus compresses to ~600MB, so 16MB splits gave only 38
+  scan tasks = 1.2 task waves on 32 cores. maxPartitionBytes is now 4MB
+  (~150 tasks, 4-5 waves) and the corpus writer uses chunk-sized row
+  groups so split ranges align with row groups.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

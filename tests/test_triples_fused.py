@@ -83,3 +83,57 @@ def test_fused_malformed_table_json_tolerated(spark):
     out = triples.all_triples_fused(spark.createDataFrame(doc)).collect()
     assert len(out) == 1
     assert out[0].predicate == "located_in" and out[0].obj_name == "Kesselhaus"
+
+
+def _staged_raw(spark, docs):
+    """Staged path over raw exploded spans (NO text coalesce) — exactly
+    what run_kg_pipeline feeds its triples stage."""
+    sp = segment.explode_spans(docs)
+    return triples.all_triples(
+        sp, tabulate.semantic_entries(tabulate.table_cells(sp))
+    )
+
+
+def test_fused_null_text_matches_staged(spark):
+    """A NULL-text text span is a run boundary in the staged window
+    (lag(text).isNull() starts a run; array_join drops the null) — the
+    fused fold must not merge through it."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1",
+                spans=[
+                    Row(kind="text", text="Die Anlage Pumpe P-100", media_ref="", offset=0),
+                    Row(kind="text", text=None, media_ref="", offset=1),
+                    Row(kind="text", text="befindet sich im Kesselhaus.", media_ref="", offset=2),
+                ],
+            )
+        ]
+    )
+    _assert_same_multiset(triples.all_triples_fused(docs), _staged_raw(spark, docs))
+    # and concretely: the broken sentence must NOT produce a triple
+    assert triples.all_triples_fused(docs).count() == 0
+
+
+def test_fused_out_of_order_spans_match_staged(spark):
+    """The staged window re-sorts by offset; the fused fold must too —
+    a document whose spans array is stored out of offset order still
+    reassembles the sentence in reading order."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1",
+                spans=[
+                    Row(kind="text", text="befindet sich im Kesselhaus.", media_ref="", offset=2),
+                    Row(kind="text", text="Die Anlage Pumpe P-100", media_ref="", offset=0),
+                ],
+            )
+        ]
+    )
+    _assert_same_multiset(triples.all_triples_fused(docs), _staged_raw(spark, docs))
+    out = triples.all_triples_fused(docs).collect()
+    assert len(out) == 1 and out[0].obj_name == "Kesselhaus"

@@ -285,11 +285,14 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
-    # planes_per_band pinned to the oracle's fixed construction: the
-    # operator's default auto-sizes from the corpus count, which would
-    # silently diverge from the static SQL twin past 16,384 vectors
+    # auto-sized band keys (planes_for_corpus). Oracle consistency: the
+    # driver ALWAYS compares against DuckDB at sf0.01, whose 500-vector
+    # embeddings table sits under the auto-sizing floor, so auto == the
+    # static SQL twin's planes_per_band=8 exactly there; at larger sfs
+    # (bench-only, never oracle-compared) auto widens the keys and keeps
+    # the candidate volume sub-quadratic.
     return dedup.embedding_cosine_pairs(
-        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45, planes_per_band=8
+        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
@@ -334,9 +337,7 @@ def q_ann_recall(spark, sf_dir):
 def q_embedding_pairs_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return _recall_row(
-        dedup.embedding_cosine_pairs(emb, threshold=0.45, planes_per_band=8).select(
-            "id_a", "id_b"
-        ),
+        dedup.embedding_cosine_pairs(emb, threshold=0.45).select("id_a", "id_b"),
         dedup.embedding_cosine_pairs_brute(emb, threshold=0.45).select("id_a", "id_b"),
         ["id_a", "id_b"],
     )

@@ -33,17 +33,20 @@ def _words(text: Column) -> Column:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> DataFrame:
-    """(id, text) -> distinct (id, shingle) word-w-gram rows."""
+    """(id, text) -> distinct (id, shingle) word-w-gram rows.
+
+    Distinctness comes from the per-row ``array_distinct`` BEFORE the
+    explode — (id, shingle) rows are unique by construction, with no
+    shuffle (a trailing ``.distinct()`` here used to re-shuffle the
+    full shingle stream for nothing)."""
     words = _words(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, w), " "),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.col("shingle") != "")
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -60,7 +63,15 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, w: int = SHINGLE_W
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — mh_i = min over shingles of
-    substr(md5(i || ':' || shingle), 1, 16). Single groupBy."""
+    substr(md5(i || ':' || shingle), 1, 16). Single groupBy.
+
+    Deliberately NOT fused in-row (unlike triples): the exploded rows
+    for one document are contiguous within their scan partition, so the
+    groupBy's map-side partial aggregation collapses to ~1 row per doc
+    before the exchange — the shuffle carries ~n_docs * k * 16B, not
+    the shingle stream — while the k md5s per shingle run inside
+    whole-stage codegen. An in-row array_min/transform variant was
+    measured 2x SLOWER: higher-order lambdas evaluate interpreted."""
     sh = shingles(df, id_col, text_col, w)
     aggs = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(

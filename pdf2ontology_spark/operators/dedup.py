@@ -38,7 +38,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> D
     Distinctness comes from the per-row ``array_distinct`` BEFORE the
     explode — (id, shingle) rows are unique by construction, with no
     shuffle (a trailing ``.distinct()`` here used to re-shuffle the
-    full shingle stream for nothing)."""
+    full shingle stream for nothing). CONTRACT: ``df`` must carry ONE
+    row per id (a document table, not a span table) — with multiple
+    rows per id the count-based Jaccard consumers (sizes/intersections)
+    would silently double-count; pre-aggregate such input first."""
     words = _words(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),

@@ -239,10 +239,9 @@ def lsh_topk(
     ~bands * probes * n/2^planes_per_band."""
     corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands
                                   ).withColumnRenamed("id", "corpus_id")
-    q_bb = banded_signatures(queries, id_col, vec_col, planes_per_band, bands
-                             ).withColumnRenamed("id", "query_id")
     probed_q = probe_signatures(
-        q_bb.withColumnRenamed("query_id", "id"), planes_per_band
+        banded_signatures(queries, id_col, vec_col, planes_per_band, bands),
+        planes_per_band,
     ).withColumnRenamed("id", "query_id")
     cand = (
         corpus_bb.join(F.broadcast(probed_q), ["band", "band_key"])

@@ -445,10 +445,17 @@ def _merged_sentences_arr(spans_col: Column) -> Column:
     element). The staged path also materializes an all-NULL run as an
     empty-sentence row; no pattern can match '' so the fold skips it —
     triple output is identical (the pinned equivalence target)."""
+    # tie-break duplicate offsets by text (null first) — the staged
+    # window's array_sort over (offset, text) structs does the same, so
+    # even offset-violating documents merge identically on both paths
     texts = F.array_sort(
         F.filter(spans_col, lambda s: s["kind"] == "text"),
         lambda a, b: F.when(a["offset"] < b["offset"], -1)
         .when(a["offset"] > b["offset"], 1)
+        .when(a["text"].isNull() & b["text"].isNotNull(), -1)
+        .when(a["text"].isNotNull() & b["text"].isNull(), 1)
+        .when(a["text"] < b["text"], -1)
+        .when(a["text"] > b["text"], 1)
         .otherwise(0),
     )
     sent_t = "array<struct<offset int, sentence string>>"

@@ -155,7 +155,7 @@ scored AS (
 ranked AS (
   SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(cos_raw, 6) DESC, corpus_id ASC) AS rank
+                            ORDER BY round(cos_raw, 4) DESC, corpus_id ASC) AS rank
   FROM scored)
 SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""
@@ -240,7 +240,7 @@ scored AS (
 ranked AS (
   SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(cos_raw, 6) DESC, corpus_id ASC) AS rank
+                            ORDER BY round(cos_raw, 4) DESC, corpus_id ASC) AS rank
   FROM scored)
 SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""

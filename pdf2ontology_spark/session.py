@@ -57,16 +57,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # 4MB splits: nested-struct parquet decode is the CPU-heavy part
-        # of ingest, and splits are COMPRESSED bytes — the 2.4M-doc
-        # bench corpus is only ~600MB on disk, so 16MB splits gave 38
-        # scan tasks = 1.2 waves on 32 cores (measured: the whole
-        # triples-job efficiency gap was wave quantization, p95≈p50).
-        # 4MB yields ~4-5 waves at 32 cores; a split still spans ~2
-        # row groups, and per-task overhead is milliseconds against
-        # multi-second decode tasks. On a real cluster with TBs per
-        # executor this would be raised back toward 64-128MB.
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # 4MB default splits: nested-struct parquet decode is the
+        # CPU-heavy part of ingest, and splits are COMPRESSED bytes —
+        # the 2.4M-doc bench corpus is only ~600MB on disk, so 16MB
+        # splits gave 38 scan tasks = 1.2 waves on 32 cores (measured:
+        # the whole triples-job efficiency gap was wave quantization,
+        # p95≈p50). 4MB yields ~4-5 waves at 32 cores; a split still
+        # spans ~2 row groups, and per-task overhead is milliseconds
+        # against multi-second decode tasks. Env-tunable because the
+        # right value scales with data-per-core: a real cluster feeding
+        # TBs per executor sets this back to 64-128MB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
     )
     # opt-in event log (task-level metrics for the scaling-evidence
     # harness: per-task run times prove/refute bandwidth contention)

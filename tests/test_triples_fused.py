@@ -86,8 +86,12 @@ def test_fused_malformed_table_json_tolerated(spark):
 
 
 def _staged_raw(spark, docs):
-    """Staged path over raw exploded spans (NO text coalesce) — exactly
-    what run_kg_pipeline feeds its triples stage."""
+    """Staged path over raw exploded spans (NO text coalesce, NO
+    quarantine split) — the staged merge/tabulate semantics themselves.
+    run_kg_pipeline additionally quarantines invalid spans first, which
+    the fused path mirrors with its own validity filter; docs here must
+    contain only quarantine-valid spans for the comparison to be
+    meaningful."""
     sp = segment.explode_spans(docs)
     return triples.all_triples(
         sp, tabulate.semantic_entries(tabulate.table_cells(sp))
@@ -135,5 +139,27 @@ def test_fused_out_of_order_spans_match_staged(spark):
         ]
     )
     _assert_same_multiset(triples.all_triples_fused(docs), _staged_raw(spark, docs))
+    out = triples.all_triples_fused(docs).collect()
+    assert len(out) == 1 and out[0].obj_name == "Kesselhaus"
+
+
+def test_fused_duplicate_offsets_deterministic(spark):
+    """Duplicate offsets violate the input invariant; the fused sort
+    tie-breaks by text so the output is deterministic (the staged
+    window's run grouping is order-ambiguous on such input)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1",
+                spans=[
+                    Row(kind="text", text="befindet sich im Kesselhaus.", media_ref="", offset=0),
+                    Row(kind="text", text="Die Anlage Pumpe P-100", media_ref="", offset=0),
+                ],
+            )
+        ]
+    )
+    # text-sorted: "Die Anlage..." (D < b in UTF-8) precedes "befindet..."
     out = triples.all_triples_fused(docs).collect()
     assert len(out) == 1 and out[0].obj_name == "Kesselhaus"

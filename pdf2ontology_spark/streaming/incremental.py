@@ -26,8 +26,15 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from pdf2ontology_spark.operators import segment, tabulate, triples
 from pdf2ontology_spark.schemas import DOCUMENTS
+
+# documents + an event-time column, for the watermarked windowed stats
+TIMED_DOCUMENTS = T.StructType(
+    list(DOCUMENTS.fields) + [T.StructField("ingest_ts", T.TimestampType())]
+)
 
 
 def stream_triples(
@@ -54,6 +61,57 @@ def stream_triples(
 
     writer = docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_doc_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+    available_now: bool = True,
+):
+    """Event-time windowed ingest statistics with a WATERMARK for late
+    data — the windowed-aggregation shape a continuous ingest pipeline
+    monitors: tumbling event-time windows over the document stream
+    (schema ``TIMED_DOCUMENTS``: documents + ``ingest_ts``), counting
+    docs and spans per window.
+
+    Semantics (append mode): a window row is emitted exactly ONCE, when
+    the watermark (max seen event time - ``watermark_delay``) passes
+    the window end; rows arriving behind the watermark are DROPPED by
+    the aggregation. That bounds state to the open windows only — no
+    keep-everything aggregation at any scale — and the watermark itself
+    is recovered from the checkpoint across restarts. The watermark a
+    micro-batch uses is the one established by the PREVIOUS batch, so
+    emission lags arrival by one batch (standard Structured Streaming
+    behavior; tests/test_media_streaming.py demonstrates both the
+    one-shot emission and the late-row drop)."""
+    docs = spark.readStream.schema(TIMED_DOCUMENTS).parquet(input_dir)
+    agg = (
+        docs.withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("spans")).cast("long").alias("n_spans"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "n_spans",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -112,3 +112,50 @@ def test_stream_dedup_first_seen_stateful(spark, tmp_path):
     out2 = spark.read.parquet(out_dir)
     assert out2.count() == 3  # only gamma was new
     assert out2.select("content_hash").distinct().count() == 3
+
+
+def test_stream_windowed_watermark_drops_late(spark, tmp_path):
+    """Watermarked event-time windows: a window emits exactly once when
+    the watermark passes its end, and a row arriving BEHIND the
+    watermark is dropped instead of mutating the emitted window."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from pdf2ontology_spark.streaming.incremental import (
+        TIMED_DOCUMENTS,
+        stream_windowed_doc_stats,
+    )
+
+    def doc(i, ts):
+        return Row(
+            doc_id=f"w{i}",
+            spans=[Row(kind="text", text="x.", media_ref="", offset=0)],
+            ingest_ts=datetime(2026, 1, 1, 10, 0, 0).replace(
+                minute=ts // 60, second=ts % 60
+            ),
+        )
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # run 1: two events in window [10:00:00, 10:00:10) plus an advancer
+    # at 10:05:00 that pushes the watermark (delay 30s) past that window
+    a = spark.createDataFrame([doc(0, 1), doc(1, 5), doc(2, 300)], TIMED_DOCUMENTS)
+    a.write.mode("append").parquet(in_dir)
+    q = stream_windowed_doc_stats(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    # run 2 (restart, watermark recovered from checkpoint): one LATE
+    # event for the already-finalized window — must be dropped — plus a
+    # second advancer whose batch flushes the finalized window if run 1
+    # did not already
+    b = spark.createDataFrame([doc(3, 7), doc(4, 301)], TIMED_DOCUMENTS)
+    b.write.mode("append").parquet(in_dir)
+    q2 = stream_windowed_doc_stats(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1, out  # only the finalized window; advancers still open
+    r = out[0]
+    assert r.window_start == datetime(2026, 1, 1, 10, 0, 0)
+    assert r.n_docs == 2 and r.n_spans == 2  # late w3 NOT counted

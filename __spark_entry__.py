@@ -324,6 +324,21 @@ def _recall_row(lsh: DataFrame, brute: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return _recall_row(
+        similarity.ivf_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        similarity.brute_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
@@ -565,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_pairs_recall": q_embedding_pairs_recall,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -783,6 +800,8 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),
         "ann_lsh_topk": oracles_data.ann_lsh_sql(k=5, n_queries=8),
         "ann_recall": oracles_data.ann_recall_sql(k=5, n_queries=8),
+        "ann_ivf_topk": oracles_data.ann_ivf_sql(k=5, n_queries=8),
+        "ann_ivf_recall": oracles_data.ann_ivf_recall_sql(k=5, n_queries=8),
         "embedding_pairs_recall": oracles_data.embedding_pairs_recall_sql(
             threshold=0.45
         ),

@@ -199,6 +199,100 @@ def brute_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """The IVF coarse quantizer: the first ``n_centroids`` corpus
+    vectors by id — deterministic, so the DuckDB oracle reproduces the
+    exact partition bit-for-bit. Production IVF trains centroids with
+    k-means on a sample for better list balance; that changes WHICH
+    vectors land together, not the operator's shape (assignment join,
+    inverted lists, nprobe search) — and iterative float averaging is
+    not bit-reproducible across engines, which would break the oracle."""
+    return (
+        emb.select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
+        .filter(F.col("centroid_id") < n_centroids)
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, v, norm, cluster, probe_rank): assignment of each vector to
+    its ``nprobe`` nearest centroids by cosine (rank 1 = the inverted
+    list it belongs to). Ties break like the ANN rankings: round-4
+    cosine desc, centroid id asc. The centroid table broadcasts."""
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    scored = v.join(F.broadcast(centroids), how="cross").withColumn(
+        "ccos", F.round(_dot("v", "cv") / (F.col("norm") * F.col("cn")), 4)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            "id", "v", "norm", F.col("centroid_id").alias("cluster"), "probe_rank"
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in the inverted list
+    of their nearest centroid; each query probes its ``nprobe`` nearest
+    lists and exact cosine reranks the union — the classic
+    coarse-quantizer ANN alongside the hyperplane-LSH path (recall < 1
+    by construction; measured by q:ann_ivf_recall).
+
+    At corpus scale the assignment is precomputable and the inverted
+    lists are stored partitioned/bucketed by ``cluster``, so a query
+    batch touches ~nprobe/n_centroids of the corpus with a co-located
+    join and no full scan; the centroid table broadcasts."""
+    cent = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    corpus = ivf_assign(emb, cent, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+        "cluster",
+    )
+    probes = ivf_assign(queries, cent, id_col, vec_col, nprobe).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "cluster",
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+        .select("query_id", "corpus_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def signatures(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
                planes: int = PLANES, dim: int | None = None) -> DataFrame:
     if dim is None:

@@ -246,6 +246,60 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def ann_ivf_sql(
+    k: int = 5, n_queries: int = 8, n_centroids: int = 16, nprobe: int = 2
+) -> str:
+    """Twin of similarity.ivf_topk: deterministic seed-vector coarse
+    quantizer, nearest-centroid inverted lists, nprobe probing, exact
+    cosine rerank (round-4 + id tie-breaks everywhere, like the other
+    ANN twins)."""
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent AS MATERIALIZED (SELECT id AS centroid_id, v AS cv FROM v WHERE id < {n_centroids}),
+assign AS MATERIALIZED (
+  SELECT id, centroid_id AS cluster,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY round(list_cosine_similarity(a.v, c.cv), 4) DESC,
+                    centroid_id ASC) AS pr
+  FROM v a CROSS JOIN cent c),
+corpus AS (SELECT id AS corpus_id, cluster FROM assign WHERE pr = 1),
+probes AS (SELECT id AS query_id, cluster FROM assign
+           WHERE pr <= {nprobe} AND id < {n_queries}),
+cand AS (
+  SELECT DISTINCT p.query_id, c.corpus_id
+  FROM probes p JOIN corpus c ON c.cluster = p.cluster AND c.corpus_id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         list_cosine_similarity(vq.v, vc.v) AS cos_raw
+  FROM cand JOIN v vq ON vq.id = cand.query_id JOIN v vc ON vc.id = cand.corpus_id),
+ranked AS (
+  SELECT query_id, corpus_id, round(cos_raw, 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos_raw, 4) DESC, corpus_id ASC) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ann_ivf_recall_sql(
+    k: int = 5, n_queries: int = 8, n_centroids: int = 16, nprobe: int = 2
+) -> str:
+    """Recall of the IVF ANN vs exact brute force."""
+    return f"""
+WITH brute AS (SELECT query_id, corpus_id FROM ({ann_brute_sql(k, n_queries)})),
+lsh AS (SELECT query_id, corpus_id
+        FROM ({ann_ivf_sql(k, n_queries, n_centroids, nprobe)})),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN lsh USING (query_id, corpus_id))
+SELECT b.n_brute, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / b.n_brute, 4) AS recall
+FROM b, h"""
+
+
 def ann_recall_sql(k: int = 5, n_queries: int = 8) -> str:
     """Recall of the LSH ANN vs the exact brute-force top-k:
     |lsh ∩ brute| / |brute| as one explicit, regression-guarded row."""

@@ -28,6 +28,7 @@ AUDIT = [
     "simhash_pairs",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "grid_row_maps",
     "preprocessed_media",
     "shipping_priority",

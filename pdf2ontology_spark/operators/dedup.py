@@ -326,7 +326,7 @@ def embedding_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes_per_band: int | None = None,
-    bands: int = 8,
+    bands: int = 12,
 ) -> DataFrame:
     """Banded hyperplane-LSH candidate pairs (id_a < id_b) with 1-bit
     multi-probe. ``planes_per_band=None`` (the default) sizes the band
@@ -356,7 +356,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes_per_band: int | None = None,
-    bands: int = 8,
+    bands: int = 12,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
 

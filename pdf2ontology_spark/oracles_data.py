@@ -178,7 +178,7 @@ def _band_sig_sql(vcol: str, offset: int, nbits: int) -> str:
 
 
 def embedding_pairs_lsh_sql(
-    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 8
+    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 12
 ) -> str:
     """Banded hyperplane-LSH candidates with 1-bit multi-probe + exact
     cosine rerank — twin of dedup.embedding_cosine_pairs (bucketed)."""
@@ -315,7 +315,7 @@ FROM b, h"""
 
 
 def embedding_pairs_recall_sql(
-    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 8
+    threshold: float = 0.8, planes_per_band: int = 8, bands: int = 12
 ) -> str:
     """Recall of the banded-LSH near-dup pairs vs the exhaustive
     baseline at the same threshold."""

@@ -62,8 +62,17 @@ TEXT_PATTERNS = [
 # continue in the next span. Shared by the engine (Spark rlike), the
 # DuckDB oracle (regexp_matches) and the synthetic-corpus generator;
 # written in the common Java/RE2/Python regex subset.
-TERMINATOR_RE = r"[.!?]$"
-ABBREV_RE = r"(^|[ (])([A-Za-zÄÖÜäöü]|z\.B|Nr|Dr|Abb|bzw|ca|evtl|ggf|inkl|Inc|Ltd|Co)\.$"
+#
+# Anchoring: a bare `$` is NOT dialect-identical — Java regex and
+# Python `re` let it match before a trailing '\n' while DuckDB's RE2
+# matches end-of-text only, so a span ending ".\n" would terminate in
+# the engine but not in the oracle. `\s*$` makes the three dialects
+# agree: the whitespace run is consumed first and `$` then sits at the
+# true end of text in every engine.
+TERMINATOR_RE = r"[.!?]\s*$"
+ABBREV_RE = (
+    r"(^|[ (])([A-Za-zÄÖÜäöü]|z\.B|Nr|Dr|Abb|bzw|ca|evtl|ggf|inkl|Inc|Ltd|Co)\.\s*$"
+)
 
 
 def span_terminates(text: str) -> bool:

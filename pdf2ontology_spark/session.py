@@ -57,16 +57,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # 4MB default splits: nested-struct parquet decode is the
-        # CPU-heavy part of ingest, and splits are COMPRESSED bytes —
-        # the 2.4M-doc bench corpus is only ~600MB on disk, so 16MB
-        # splits gave 38 scan tasks = 1.2 waves on 32 cores (measured:
-        # the whole triples-job efficiency gap was wave quantization,
-        # p95≈p50). 4MB yields ~4-5 waves at 32 cores; a split still
-        # spans ~2 row groups, and per-task overhead is milliseconds
-        # against multi-second decode tasks. Env-tunable because the
-        # right value scales with data-per-core: a real cluster feeding
-        # TBs per executor sets this back to 64-128MB.
+        # 4MB default splits suit the SMALL driver test tables only.
+        # The corpus read path re-sizes this per input at load time
+        # (tables.tune_split_bytes: actual compressed bytes / cores /
+        # waves, clamped 4-128MB), so a deployment scanning 100GB+ gets
+        # ~128MB splits instead of ~25k 4MB tasks, while the ~600MB
+        # local bench corpus keeps the measured 4-5-waves-of-32 sweet
+        # spot (16MB splits gave 38 tasks = 1.2 waves; wave quantization
+        # was the whole triples-efficiency gap). The env var pins the
+        # value and disables the tuner.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),

@@ -290,9 +290,14 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     # embeddings table sits under the auto-sizing floor, so auto == the
     # static SQL twin's planes_per_band=8 exactly there; at larger sfs
     # (bench-only, never oracle-compared) auto widens the keys and keeps
-    # the candidate volume sub-quadratic.
+    # the candidate volume sub-quadratic. ``n`` comes from the parquet
+    # footer (tables.table_rows — table stats, no Spark job) so the
+    # plan build stays lazy.
     return dedup.embedding_cosine_pairs(
-        tables.load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        tables.load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        n=tables.table_rows(sf_dir, "embeddings"),
+        dim=tables.embedding_dim(sf_dir),
     )
 
 
@@ -310,7 +315,8 @@ def q_ann_brute_topk(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    dim = tables.embedding_dim(sf_dir)
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=dim)
 
 
 def _recall_row(lsh: DataFrame, brute: DataFrame, keys: list[str]) -> DataFrame:
@@ -325,15 +331,20 @@ def _recall_row(lsh: DataFrame, brute: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    # quantizer auto-sized to the corpus (centroids_for_corpus /
+    # nprobe_for_centroids); at the sf0.01 oracle point (n=500) the
+    # auto values equal the SQL twin's pinned n_centroids=16, nprobe=2.
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    n = tables.table_rows(sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n=n)
 
 
 def q_ann_ivf_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
+    n = tables.table_rows(sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return _recall_row(
-        similarity.ivf_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        similarity.ivf_topk(emb, q, k=5, n=n).select("query_id", "corpus_id"),
         similarity.brute_topk(emb, q, k=5).select("query_id", "corpus_id"),
         ["query_id", "corpus_id"],
     )
@@ -341,9 +352,10 @@ def q_ann_ivf_recall(spark, sf_dir):
 
 def q_ann_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
+    dim = tables.embedding_dim(sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
     return _recall_row(
-        similarity.lsh_topk(emb, q, k=5).select("query_id", "corpus_id"),
+        similarity.lsh_topk(emb, q, k=5, dim=dim).select("query_id", "corpus_id"),
         similarity.brute_topk(emb, q, k=5).select("query_id", "corpus_id"),
         ["query_id", "corpus_id"],
     )
@@ -351,8 +363,12 @@ def q_ann_recall(spark, sf_dir):
 
 def q_embedding_pairs_recall(spark, sf_dir):
     emb = tables.load_table(spark, sf_dir, "embeddings")
+    n = tables.table_rows(sf_dir, "embeddings")
+    dim = tables.embedding_dim(sf_dir)
     return _recall_row(
-        dedup.embedding_cosine_pairs(emb, threshold=0.45).select("id_a", "id_b"),
+        dedup.embedding_cosine_pairs(emb, threshold=0.45, n=n, dim=dim).select(
+            "id_a", "id_b"
+        ),
         dedup.embedding_cosine_pairs_brute(emb, threshold=0.45).select("id_a", "id_b"),
         ["id_a", "id_b"],
     )

@@ -327,19 +327,24 @@ def embedding_candidates(
     vec_col: str = "embedding",
     planes_per_band: int | None = None,
     bands: int = 12,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded hyperplane-LSH candidate pairs (id_a < id_b) with 1-bit
     multi-probe. ``planes_per_band=None`` (the default) sizes the band
-    keys to the corpus via ``similarity.planes_for_corpus(count)`` —
-    one cheap count job buys a key space that keeps expected bucket
-    occupancy ~constant as n grows, so candidate volume stays
-    sub-quadratic (regression-tested in tests/test_candidate_volume.py)
-    instead of O(n^2/2^width) with a fixed width."""
+    keys to the corpus via ``similarity.planes_for_corpus(n)`` — a key
+    space that keeps expected bucket occupancy ~constant as n grows, so
+    candidate volume stays sub-quadratic (regression-tested in
+    tests/test_candidate_volume.py) instead of O(n^2/2^width) with a
+    fixed width. Pass ``n`` (corpus cardinality from table stats /
+    parquet footer metadata, e.g. ``tables.table_rows``) to keep the
+    plan build fully lazy; when absent one count job runs as fallback —
+    cheap for plain parquet (row-group-metadata driven) but eager."""
     from pdf2ontology_spark.operators import similarity
 
     if planes_per_band is None:
-        planes_per_band = similarity.planes_for_corpus(emb.count())
-    bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands)
+        planes_per_band = similarity.planes_for_corpus(emb.count() if n is None else n)
+    bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands, dim)
     probed = similarity.probe_signatures(bb, planes_per_band)
     return (
         bb.withColumnRenamed("id", "id_a")
@@ -357,8 +362,16 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     planes_per_band: int | None = None,
     bands: int = 12,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, bucketed.
+
+    ``n`` (corpus cardinality) and ``dim`` (vector width) are table
+    stats — thread them from the catalog / parquet footer
+    (``tables.table_rows`` / ``tables.embedding_dim``) and the whole
+    plan builds lazily, with zero Spark jobs before the action
+    (pinned by tests/test_lazy_build.py).
 
     Candidates come from a banded hyperplane-LSH equi-join with 1-bit
     MULTI-PROBE (``embedding_candidates``) — NO CartesianProduct at any
@@ -373,7 +386,7 @@ def embedding_cosine_pairs(
     dimension joins; the exhaustive baseline stays available as
     ``embedding_cosine_pairs_brute``.
     """
-    cand = embedding_candidates(emb, id_col, vec_col, planes_per_band, bands)
+    cand = embedding_candidates(emb, id_col, vec_col, planes_per_band, bands, n=n, dim=dim)
     v = _vec_dim(emb, id_col, vec_col)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))

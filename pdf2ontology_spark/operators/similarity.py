@@ -199,6 +199,37 @@ def brute_topk(
     )
 
 
+def centroids_for_corpus(n: int, floor: int = 16, cap: int = 1 << 16) -> int:
+    """IVF quantizer size ~ sqrt(n) — the standard FAISS sizing, which
+    balances assignment cost (n * c centroid comparisons) against
+    per-probe list length (n / c) — quantized DOWN to a power of two
+    for stable, reproducible operating points. A FIXED ``n_centroids``
+    is the same hidden scale bomb as a fixed LSH key width: 16 lists
+    look fine at 50k vectors, but at 100x the corpus each inverted list
+    holds n/16 vectors and the rerank join degrades toward brute force.
+    ``floor`` pins the sf0.01 oracle operating point (n=500 -> 16);
+    ``cap`` bounds the broadcast centroid table (65k centroids * dim
+    doubles is still a few-MB broadcast)."""
+    import math
+
+    if n <= floor * floor:
+        return floor
+    return min(cap, max(floor, 1 << int(math.log2(math.sqrt(n)))))
+
+
+def nprobe_for_centroids(c: int, floor: int = 2) -> int:
+    """Probe count grows with the quantizer as ceil(sqrt(c)/2), so the
+    probed FRACTION of the corpus shrinks (~1/(2*sqrt(c))) while recall
+    degrades only slowly (near lists dominate). With c ~ sqrt(n) the
+    rerank candidate volume per query is nprobe * n/c ~ n^(3/4) —
+    sub-linear per query, sub-quadratic in total (regression-tested in
+    tests/test_candidate_volume.py). ``floor`` pins the sf0.01 oracle
+    point (c=16 -> nprobe=2)."""
+    import math
+
+    return max(floor, math.ceil(math.sqrt(c) / 2))
+
+
 def ivf_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -206,15 +237,20 @@ def ivf_centroids(
     n_centroids: int = 16,
 ) -> DataFrame:
     """The IVF coarse quantizer: the first ``n_centroids`` corpus
-    vectors by id — deterministic, so the DuckDB oracle reproduces the
-    exact partition bit-for-bit. Production IVF trains centroids with
+    vectors in id order — deterministic, so the DuckDB oracle reproduces
+    the exact partition bit-for-bit, and safe for sparse / offset /
+    non-contiguous id spaces (a ``id < n`` filter would silently return
+    an empty or undersized quantizer there). orderBy+limit plans as
+    TakeOrderedAndProject — a distributed top-k, no global sort and no
+    single-partition window. Production IVF trains centroids with
     k-means on a sample for better list balance; that changes WHICH
     vectors land together, not the operator's shape (assignment join,
     inverted lists, nprobe search) — and iterative float averaging is
     not bit-reproducible across engines, which would break the oracle."""
     return (
         emb.select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv"))
-        .filter(F.col("centroid_id") < n_centroids)
+        .orderBy("centroid_id")
+        .limit(n_centroids)
         .withColumn("cn", _norm(F.col("cv")))
     )
 
@@ -252,8 +288,9 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    nprobe: int = 2,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in the inverted list
     of their nearest centroid; each query probes its ``nprobe`` nearest
@@ -261,10 +298,20 @@ def ivf_topk(
     coarse-quantizer ANN alongside the hyperplane-LSH path (recall < 1
     by construction; measured by q:ann_ivf_recall).
 
+    ``n_centroids=None`` (default) sizes the quantizer to the corpus
+    via ``centroids_for_corpus`` and the probe count via
+    ``nprobe_for_centroids`` — pass ``n`` (corpus cardinality from
+    table stats / parquet footer, e.g. ``tables.table_rows``) to keep
+    the plan build lazy; without it one count job runs.
+
     At corpus scale the assignment is precomputable and the inverted
     lists are stored partitioned/bucketed by ``cluster``, so a query
     batch touches ~nprobe/n_centroids of the corpus with a co-located
     join and no full scan; the centroid table broadcasts."""
+    if n_centroids is None:
+        n_centroids = centroids_for_corpus(emb.count() if n is None else n)
+    if nprobe is None:
+        nprobe = nprobe_for_centroids(n_centroids)
     cent = ivf_centroids(emb, id_col, vec_col, n_centroids)
     corpus = ivf_assign(emb, cent, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("corpus_id"),
@@ -311,6 +358,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes_per_band: int = PLANES,
     bands: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: banded multi-table hyperplane LSH with 1-bit
     multi-probe — candidates are corpus vectors sharing ANY band bucket
@@ -331,10 +379,10 @@ def lsh_topk(
     stream ~(planes_per_band+1)x the large-side rows through the join
     for nothing). Candidate volume per query is
     ~bands * probes * n/2^planes_per_band."""
-    corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands
+    corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands, dim
                                   ).withColumnRenamed("id", "corpus_id")
     probed_q = probe_signatures(
-        banded_signatures(queries, id_col, vec_col, planes_per_band, bands),
+        banded_signatures(queries, id_col, vec_col, planes_per_band, bands, dim),
         planes_per_band,
     ).withColumnRenamed("id", "query_id")
     cand = (

@@ -257,7 +257,8 @@ def ann_ivf_sql(
 WITH v AS MATERIALIZED (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
-cent AS MATERIALIZED (SELECT id AS centroid_id, v AS cv FROM v WHERE id < {n_centroids}),
+cent AS MATERIALIZED (
+  SELECT id AS centroid_id, v AS cv FROM v ORDER BY id LIMIT {n_centroids}),
 assign AS MATERIALIZED (
   SELECT id, centroid_id AS cluster,
          row_number() OVER (

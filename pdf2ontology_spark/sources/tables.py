@@ -33,9 +33,23 @@ def storage_format() -> str:
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
+# parquet schema inference submits a one-task Spark job per read; the
+# driver test tables are immutable, so infer once per path and pass the
+# schema explicitly afterwards — repeat plan builds (bench reps, the
+# oracle loop) become fully job-free. Keyed per path; values are plain
+# StructTypes, valid across sessions.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 _SPLIT_FLOOR = 4 * 1024 * 1024
@@ -62,6 +76,44 @@ def tune_split_bytes(spark: SparkSession, path: str) -> int:
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     return target
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a driver testdata table from parquet FOOTER metadata
+    — a driver-side file-stat read, NO Spark job. Auto-parameterized
+    operators (LSH key widths, IVF quantizer size) need the corpus
+    cardinality at plan-build time; running even a column-less count job
+    for it makes the plan eager. At deployment scale this is the
+    catalog/table-statistics lookup (Iceberg snapshot summary,
+    metastore rowCount) — same idea, same laziness."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isdir(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def embedding_dim(sf_dir: str, name: str = "embeddings", col: str = "embedding") -> int:
+    """Vector width from the first row of the parquet table — a
+    driver-side pyarrow read of one row group's one column, NO Spark
+    job. Paired with ``table_rows`` it lets the similarity/dedup
+    operators build their plans fully lazily (every row is still
+    length-checked at run time by ``similarity._checked_vec``)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))[0]
+    batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
+    return len(batch.column(0)[0])
 
 
 def load_documents_spans(

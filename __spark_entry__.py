@@ -551,6 +551,13 @@ def q_media_features(spark, sf_dir):
     return media.media_features(_spans(spark, sf_dir))
 
 
+def q_media_quality(spark, sf_dir):
+    # REAL metric math (the reference QualityAssessor's kernels in
+    # numpy) over the deterministic synthetic raster; the DuckDB twin
+    # recomputes the same kernels in closed-form SQL.
+    return media.media_quality(_spans(spark, sf_dir))
+
+
 def q_media_stats(spark, sf_dir):
     return media.media_stats(media.media_features(_spans(spark, sf_dir)))
 
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_header_levels": q_grid_header_levels,
         "dominant_angle": q_dominant_angle,
         "media_features": q_media_features,
+        "media_quality": q_media_quality,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "merged_sentences": q_merged_sentences,
@@ -861,6 +869,7 @@ SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGI
         "grid_header_levels": oracles_data.grid_header_levels_sql(tag),
         "dominant_angle": oracles_data.dominant_angle_sql(tag),
         "media_features": oracles_data.media_features_sql(tag),
+        "media_quality": oracles_data.media_quality_sql(tag),
         "media_stats": oracles_data.media_stats_sql(tag),
         "frame_samples": oracles_data.frame_samples_sql(tag),
         "merged_sentences": oracles_data.merged_sentences_sql(tag),

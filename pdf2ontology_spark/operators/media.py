@@ -3,12 +3,16 @@ with typed metadata, decoded/feature-extracted via Arrow-batched
 mapInPandas (the reference's CV stages — image_utils.py:295-481,
 document_analysis_utils.py — live HERE as per-batch vectorized work).
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked DETERMINISTIC STUB (sha256-derived fake dimensions and a
-fake perceptual hash); everything around it — schema, salted
+The container has no image/audio libraries, so the byte fetch/decode
+step is a clearly-marked DETERMINISTIC STUB (sha256-derived fake
+dimensions / synthetic raster); everything around it — schema, salted
 partitioning, Arrow batch shape, UDF signature — is the real Spark
-plumbing and is tested. Swap ``_decode_stub`` for cv2/PIL on a real
-cluster; the surrounding plan does not change.
+plumbing and is tested. The QUALITY METRIC family is NOT a stub: the
+reference QualityAssessor's kernels (Laplacian variance, 5x5 median
+filter, std/mean normalizations) are ported as real numpy in
+``assess_quality_gray`` and verified against an independent closed-form
+DuckDB twin. Swap ``_decode_stub``/``synth_raster`` for cv2/PIL on a
+real cluster; the surrounding plan does not change.
 
 Scale notes: media bytes stay OUT of the row (media_ref pointer,
 resolved inside the batch UDF) so span-stage shuffles move strings, not
@@ -68,6 +72,159 @@ def media_features(spans: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+QUALITY_SCHEMA = (
+    "doc_id string, media_ref string, offset int, contrast_score double, "
+    "brightness_score double, sharpness_score double, noise_level double, "
+    "overall_score double, issues_joined string"
+)
+
+QUALITY_GRID_H = 16
+QUALITY_GRID_W = 16
+
+
+def synth_raster(media_ref: str, h: int = QUALITY_GRID_H, w: int = QUALITY_GRID_W):
+    """STUB fetch+decode ONLY: real deployments fetch the bytes at
+    ``media_ref`` and cv2.imdecode them here. This derives a
+    deterministic grayscale raster from sha256(media_ref) — a bilinear
+    ramp with per-image slope (a, b, c), base level and dynamic range
+    (lo, rng), wrapped mod (rng+1) so it has real edges — chosen to be
+    reproducible in closed-form SQL, so the REAL metric kernels in
+    ``assess_quality_gray`` are verified end-to-end by an independent
+    DuckDB twin (oracles_data.media_quality_sql)."""
+    import numpy as np
+
+    hx = hashlib.sha256(media_ref.encode()).hexdigest()
+    a, b, c, d, e, f = (int(hx[i * 2 : i * 2 + 2], 16) for i in range(6))
+    a %= 8
+    b %= 8
+    c %= 3
+    rng = 16 + e % 180
+    lo = f % (256 - rng)
+    y, x = np.mgrid[0:h, 0:w]
+    return (lo + (a * x + b * y + c * x * y + d) % (rng + 1)).astype(np.int64)
+
+
+def _laplacian_reflect101(g):
+    """3x3 Laplacian [[0,1,0],[1,-4,1],[0,1,0]] with BORDER_REFLECT_101
+    — the exact kernel and border mode of cv2.Laplacian(gray, CV_64F)
+    at default ksize=1 (document_analysis_utils.py:512). numpy's pad
+    mode 'reflect' IS reflect-101 (the edge sample is not repeated)."""
+    import numpy as np
+
+    p = np.pad(g, 1, mode="reflect")
+    return p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * g
+
+
+def _median5_replicate(g):
+    """5x5 median filter with BORDER_REPLICATE — the kernel and border
+    mode of cv2.medianBlur(gray, 5) (document_analysis_utils.py:523).
+    Odd window (25 samples) keeps the median an exact order statistic."""
+    import numpy as np
+
+    p = np.pad(g, 2, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + g.shape[0], dx : dx + g.shape[1]] for dy in range(5) for dx in range(5)]
+    )
+    return np.median(stack, axis=0)
+
+
+def assess_quality_gray(gray) -> dict:
+    """The reference QualityAssessor's metric math — REAL, not a stub —
+    ported to pure numpy (this container has no cv2; the kernels and
+    normalizations are the reference's exactly,
+    /root/reference/src/utils/document_analysis_utils.py:419-528):
+
+    - contrast  = min(std(gray)/80, 1)            (:487-494)
+    - brightness: piecewise around the 120..200 ideal band  (:496-508)
+    - sharpness = min(var(laplacian(gray))/1000, 1)         (:510-517)
+    - noise     = min(mean|gray - median5(gray)|/20, 1)     (:519-528)
+    - overall   = 0.3*contrast + 0.2*brightness + 0.3*sharpness
+                  + 0.2*(1-noise), with the reference's issue
+                  thresholds (0.4 / 0.3 / 0.3 / 0.6)        (:449-472)
+
+    Aggregations go through exact integer sums (the grid is integral),
+    then one fixed sequence of double ops — so an independent engine
+    (the DuckDB oracle) computing the same sums reproduces every score
+    bit-for-bit."""
+    import math
+
+    n = gray.size
+    s1 = int(gray.sum())
+    s2 = int((gray * gray).sum())
+    mean = s1 / n
+    # math.sqrt (not **0.5): sqrt is correctly rounded IEEE; pow(x,0.5)
+    # is not guaranteed to be, and the oracle twin uses SQL sqrt
+    std = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    contrast = min(std / 80.0, 1.0)
+    if mean < 120:
+        brightness = mean / 120.0
+    elif mean > 200:
+        brightness = max(0.0, 1.0 - (mean - 200) / 55.0)
+    else:
+        brightness = 1.0
+    lap = _laplacian_reflect101(gray)
+    l1 = int(lap.sum())
+    l2 = int((lap * lap).sum())
+    lap_var = l2 / n - (l1 / n) * (l1 / n)
+    sharpness = min(lap_var / 1000.0, 1.0)
+    sad = int(abs(gray - _median5_replicate(gray)).sum())
+    noise = min((sad / n) / 20.0, 1.0)
+    overall = contrast * 0.3 + brightness * 0.2 + sharpness * 0.3 + (1.0 - noise) * 0.2
+    issues = []
+    if contrast < 0.4:
+        issues.append("low_contrast")
+    if brightness < 0.3:
+        issues.append("dark_image")
+    if sharpness < 0.3:
+        issues.append("blurry_image")
+    if noise > 0.6:
+        issues.append("noisy_image")
+    # floor-truncation to 4 decimals instead of round(): the integer
+    # grid makes exact decimal round-half ties COMMON (e.g. mean/120
+    # with n=256), and round-half resolution differs between engines;
+    # floor(x*1e4)/1e4 is the identical IEEE op sequence on both sides
+    def trunc4(x: float) -> float:
+        return math.floor(x * 10000.0) / 10000.0
+
+    return {
+        "contrast_score": trunc4(contrast),
+        "brightness_score": trunc4(brightness),
+        "sharpness_score": trunc4(sharpness),
+        "noise_level": trunc4(noise),
+        "overall_score": trunc4(overall),
+        "issues_joined": "|".join(issues),
+    }
+
+
+def media_quality(spans: DataFrame) -> DataFrame:
+    """media spans -> per-image quality assessment via mapInPandas: the
+    fetch/decode is the deterministic ``synth_raster`` stub (no image
+    libs in this container), the METRICS over the pixels are the
+    reference's real math (``assess_quality_gray``). Same seam, salting
+    and Arrow batch shape as ``media_features``; swapping the stub for
+    cv2.imdecode changes nothing downstream."""
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+    def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [assess_quality_gray(synth_raster(ref)) for ref in pdf["media_ref"]]
+            out = pdf[["doc_id", "media_ref", "offset"]].copy()
+            for k in (
+                "contrast_score",
+                "brightness_score",
+                "sharpness_score",
+                "noise_level",
+                "overall_score",
+                "issues_joined",
+            ):
+                out[k] = [f[k] for f in feats]
+            yield out
+
+    return media.mapInPandas(assess_batches, schema=QUALITY_SCHEMA)
 
 
 PREPROCESSED_SCHEMA = (

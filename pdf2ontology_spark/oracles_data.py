@@ -513,6 +513,83 @@ SELECT doc_id, media_ref, off AS "offset",
 FROM spans WHERE kind = 'media'"""
 
 
+def media_quality_sql(tag: str = "sf0.01", h: int = 16, w: int = 16) -> str:
+    """Independent DuckDB twin of media.media_quality: the synth_raster
+    pattern is closed-form per pixel, so every kernel tap (Laplacian
+    reflect-101 neighbors, the 25 clamped 5x5-median taps) is a plain
+    EXPRESSION — no joins — and the reference scores come from the same
+    exact integer sums as the numpy side. This genuinely re-verifies
+    the engine's numpy kernel math: the two implementations share only
+    the pattern definition and the published reference formulas."""
+
+    def v(xe: str, ye: str) -> str:
+        # the synth_raster pixel: lo + (a*x + b*y + c*x*y + d) % (rng+1)
+        return f"(lo + (a*({xe}) + b*({ye}) + c*({xe})*({ye}) + d) % (rng + 1))"
+
+    ry_m1 = "(CASE WHEN y = 0 THEN 1 ELSE y - 1 END)"  # BORDER_REFLECT_101
+    ry_p1 = f"(CASE WHEN y = {h - 1} THEN {h - 2} ELSE y + 1 END)"
+    rx_m1 = "(CASE WHEN x = 0 THEN 1 ELSE x - 1 END)"
+    rx_p1 = f"(CASE WHEN x = {w - 1} THEN {w - 2} ELSE x + 1 END)"
+    lap = (
+        f"({v('x', ry_m1)} + {v('x', ry_p1)} + {v(rx_m1, 'y')} + {v(rx_p1, 'y')}"
+        f" - 4*{v('x', 'y')})"
+    )
+    taps = ", ".join(
+        v(
+            f"greatest(0, least({w - 1}, x + {dx}))",  # BORDER_REPLICATE
+            f"greatest(0, least({h - 1}, y + {dy}))",
+        )
+        for dy in range(-2, 3)
+        for dx in range(-2, 3)
+    )
+    sha = "sha256(media_ref)"
+    e_expr = hexval("h", 9, 2)
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+params AS MATERIALIZED (
+  SELECT doc_id, media_ref, off,
+    {hexval("h", 1, 2)} % 8 AS a, {hexval("h", 3, 2)} % 8 AS b,
+    {hexval("h", 5, 2)} % 3 AS c, {hexval("h", 7, 2)} AS d,
+    16 + {e_expr} % 180 AS rng,
+    {hexval("h", 11, 2)} % (256 - (16 + {e_expr} % 180)) AS lo
+  FROM (SELECT doc_id, media_ref, off, {sha} AS h FROM spans WHERE kind = 'media')),
+pix AS (
+  SELECT doc_id, media_ref, off,
+    {v('x', 'y')} AS vv, {lap} AS lap,
+    list_aggregate(list_value({taps}), 'median') AS med
+  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)),
+agg AS (
+  SELECT doc_id, media_ref, off, count(*) AS n,
+    sum(vv) AS s1, sum(vv*vv) AS s2, sum(lap) AS l1, sum(lap*lap) AS l2,
+    sum(abs(vv - med)) AS sad
+  FROM pix GROUP BY doc_id, media_ref, off),
+scores AS (
+  SELECT doc_id, media_ref, off,
+    least(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          / 80.0, 1.0) AS contrast,
+    CASE WHEN CAST(s1 AS DOUBLE)/n < 120 THEN (CAST(s1 AS DOUBLE)/n) / 120.0
+         WHEN CAST(s1 AS DOUBLE)/n > 200
+           THEN greatest(0.0, 1.0 - (CAST(s1 AS DOUBLE)/n - 200) / 55.0)
+         ELSE 1.0 END AS brightness,
+    least((CAST(l2 AS DOUBLE)/n - (CAST(l1 AS DOUBLE)/n)*(CAST(l1 AS DOUBLE)/n))
+          / 1000.0, 1.0) AS sharpness,
+    least((CAST(sad AS DOUBLE)/n) / 20.0, 1.0) AS noise
+  FROM agg)
+SELECT doc_id, media_ref, off AS "offset",
+  floor(contrast * 10000.0) / 10000.0 AS contrast_score,
+  floor(brightness * 10000.0) / 10000.0 AS brightness_score,
+  floor(sharpness * 10000.0) / 10000.0 AS sharpness_score,
+  floor(noise * 10000.0) / 10000.0 AS noise_level,
+  floor((contrast * 0.3 + brightness * 0.2 + sharpness * 0.3
+        + (1.0 - noise) * 0.2) * 10000.0) / 10000.0 AS overall_score,
+  rtrim(concat(
+    CASE WHEN contrast < 0.4 THEN 'low_contrast|' ELSE '' END,
+    CASE WHEN brightness < 0.3 THEN 'dark_image|' ELSE '' END,
+    CASE WHEN sharpness < 0.3 THEN 'blurry_image|' ELSE '' END,
+    CASE WHEN noise > 0.6 THEN 'noisy_image|' ELSE '' END), '|') AS issues_joined
+FROM scores"""
+
+
 def media_stats_sql(tag: str = "sf0.01") -> str:
     return f"""
 WITH {oracles.spans_cte(tag).lstrip()},

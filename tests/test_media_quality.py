@@ -1,0 +1,108 @@
+"""The real (non-stub) quality-metric family: the reference
+QualityAssessor math in numpy (media.assess_quality_gray), its kernel
+helpers, and the mapInPandas operator around them."""
+
+import numpy as np
+import pytest
+
+from pdf2ontology_spark.operators import media
+
+
+def _naive_laplacian(g):
+    h, w = g.shape
+    out = np.zeros_like(g)
+
+    def ref101(i, n):
+        return -i if i < 0 else (2 * (n - 1) - i if i >= n else i)
+
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = (
+                g[ref101(y - 1, h), x]
+                + g[ref101(y + 1, h), x]
+                + g[y, ref101(x - 1, w)]
+                + g[y, ref101(x + 1, w)]
+                - 4 * g[y, x]
+            )
+    return out
+
+
+def _naive_median5(g):
+    h, w = g.shape
+    out = np.zeros(g.shape, dtype=float)
+    for y in range(h):
+        for x in range(w):
+            vals = [
+                g[min(max(y + dy, 0), h - 1), min(max(x + dx, 0), w - 1)]
+                for dy in range(-2, 3)
+                for dx in range(-2, 3)
+            ]
+            out[y, x] = sorted(vals)[12]
+    return out
+
+
+def test_kernels_match_naive_loops():
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, size=(11, 13)).astype(np.int64)
+    assert np.array_equal(media._laplacian_reflect101(g), _naive_laplacian(g))
+    assert np.array_equal(media._median5_replicate(g), _naive_median5(g))
+
+
+def test_assess_quality_flat_image():
+    """A constant image: zero contrast/sharpness/noise; brightness is
+    the piecewise band function of the level."""
+    for level, expected_b in [(60, 0.5), (150, 1.0), (255, 0.0)]:
+        m = media.assess_quality_gray(np.full((16, 16), level, dtype=np.int64))
+        assert m["contrast_score"] == 0.0
+        assert m["sharpness_score"] == 0.0
+        assert m["noise_level"] == 0.0
+        assert m["brightness_score"] == pytest.approx(expected_b, abs=1e-4)
+        assert "low_contrast" in m["issues_joined"]
+        assert "blurry_image" in m["issues_joined"]
+        assert "noisy_image" not in m["issues_joined"]
+    assert "dark_image" in media.assess_quality_gray(
+        np.full((16, 16), 20, dtype=np.int64)
+    )["issues_joined"]
+
+
+def test_assess_quality_reference_formulas():
+    """Spot-check each score against the reference normalizations
+    (document_analysis_utils.py:487-528) computed independently."""
+    g = media.synth_raster("some-media-ref")
+    m = media.assess_quality_gray(g)
+    assert m["contrast_score"] == pytest.approx(min(g.std() / 80.0, 1.0), abs=1e-4)
+    lap = media._laplacian_reflect101(g)
+    assert m["sharpness_score"] == pytest.approx(min(lap.var() / 1000.0, 1.0), abs=1e-4)
+    sad = np.abs(g - media._median5_replicate(g)).mean()
+    assert m["noise_level"] == pytest.approx(min(sad / 20.0, 1.0), abs=1e-4)
+    assert m["overall_score"] == pytest.approx(
+        0.3 * m["contrast_score"]
+        + 0.2 * m["brightness_score"]
+        + 0.3 * m["sharpness_score"]
+        + 0.2 * (1 - m["noise_level"]),
+        abs=2e-4,
+    )
+
+
+def test_media_quality_operator(spark):
+    spans = spark.createDataFrame(
+        [
+            ("d1", "media", "", "m/ref1", 0),
+            ("d1", "text", "Ein Satz.", "", 10),
+            ("d2", "media", "", "m/ref2", 0),
+            ("d2", "media", "", "m/ref1", 5),
+        ],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    rows = media.media_quality(spans).collect()
+    assert len(rows) == 3  # text spans excluded
+    byref = {(r.doc_id, r.media_ref): r for r in rows}
+    # same ref in different docs -> identical metrics (deterministic)
+    a, b = byref[("d1", "m/ref1")], byref[("d2", "m/ref1")]
+    assert (a.contrast_score, a.sharpness_score, a.noise_level) == (
+        b.contrast_score,
+        b.sharpness_score,
+        b.noise_level,
+    )
+    for r in rows:
+        assert 0.0 <= r.overall_score <= 1.0

@@ -4,9 +4,14 @@ The reference is strictly batch (SURVEY.md §2.9); the target's
 incremental story is checkpointed batch resume. This module adds the
 natural streaming extension anyway: new document parquet files landing
 in a directory are picked up per micro-batch and extracted with the
-SAME operator functions via ``foreachBatch`` — the tabulate stage uses
-window functions, which Structured Streaming only allows inside a
-foreachBatch (each micro-batch is a plain batch DataFrame there).
+SAME operator functions via ``foreachBatch`` (each micro-batch is a
+plain batch DataFrame there). The extraction is the FUSED single-scan
+plan (``triples.all_triples_fused``): per-document array expressions,
+no window functions and no shuffle — so each micro-batch is one narrow
+map-side pass, exactly the shape you want for continuous ingest, and
+the incremental surface exercises the same flagship plan as batch
+(equivalence pinned by tests/test_media_streaming.py, including a
+3-chunk incremental run).
 
 Delivery semantics: the streaming checkpoint gives exactly-once source
 tracking; the parquet append sink inside foreachBatch is at-least-once
@@ -28,7 +33,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from pdf2ontology_spark.operators import segment, tabulate, triples
+from pdf2ontology_spark.operators import triples
 from pdf2ontology_spark.schemas import DOCUMENTS
 
 # documents + an event-time column, for the watermarked windowed stats
@@ -53,10 +58,10 @@ def stream_triples(
     docs = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
 
     def process_batch(batch_df, _batch_id: int) -> None:
-        spans = segment.explode_spans(batch_df)
-        trips = triples.all_triples(
-            spans, tabulate.semantic_entries(tabulate.table_cells(spans))
-        )
+        # the flagship fused plan: FileScan -> Project -> Generate, zero
+        # exchanges — per micro-batch the whole extraction is one
+        # narrow map-side pass over the new files only
+        trips = triples.all_triples_fused(batch_df)
         trips.write.mode("append").parquet(output_dir)
 
     writer = docs.writeStream.foreachBatch(process_batch).option(

@@ -47,6 +47,29 @@ def test_stream_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1
 
 
+def test_stream_three_chunks_matches_batch(spark, tmp_path):
+    """Incremental parity for the FUSED single-scan plan: the same
+    corpus arriving as 3 separate micro-batch drops must produce
+    exactly the batch all_triples_fused output over the full corpus."""
+    docs = tables.load_documents_spans(spark, "/root/testdata/sf0.001").cache()
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    from pyspark.sql import functions as F
+
+    chunk = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    for i in range(3):
+        docs.filter(chunk == i).write.mode("append").parquet(in_dir)
+        q = stream_triples(spark, in_dir, out_dir, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = triples.all_triples_fused(docs)
+    cols = batch.columns
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed.select(*cols)).count() == 0
+    docs.unpersist()
+
+
 def test_apply_actions_passthrough_and_chain(spark):
     """Skip-predicate rows keep the ORIGINAL byte token (byte-identical
     pass-through); processed rows fold each planned action into the

@@ -73,19 +73,17 @@ def exact_contract(surf: DataFrame) -> DataFrame:
     return surf.withColumn("rep_id", F.min("surface_id").over(w))
 
 
-def candidate_pairs(reps: DataFrame) -> DataFrame:
-    """Fuzzy (id_a, id_b) bridge links between exact-group reps, within
-    entity_type. Only non-value types; minhash over char-3-grams of the
-    key, banded (LSH_BANDS bands of LSH_K/LSH_BANDS rows); band matches
-    verified with exact Jaccard >= threshold.
-
-    ``reps`` needs (surface_id, entity_type, key) — one row per distinct
-    key (the exact-group representative).
-    """
+def _fuzzy_base(reps: DataFrame) -> DataFrame:
+    """Non-value-type reps with their char-3-gram arrays."""
     s = reps.select("surface_id", "entity_type", "key")
-    fuzzy_base = s.filter(~F.col("entity_type").isin(graph.VALUE_TYPES)).withColumn(
+    return s.filter(~F.col("entity_type").isin(graph.VALUE_TYPES)).withColumn(
         "grams", _char_shingles_expr("key")
     )
+
+
+def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
+    """Raw LSH band-collision pairs (id_a < id_b) between reps — the
+    blocking stage only, before any verification."""
     sh = fuzzy_base.select(
         "surface_id", "entity_type", "grams", F.explode("grams").alias("shingle")
     )
@@ -110,7 +108,7 @@ def candidate_pairs(reps: DataFrame) -> DataFrame:
         "surface_id", "entity_type", F.explode(F.array(*band_structs)).alias("bb")
     ).select("surface_id", "entity_type", "bb.band", "bb.band_key")
 
-    cand = (
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["entity_type", "band", "band_key"])
         .filter(F.col("a.surface_id") < F.col("b.surface_id"))
@@ -119,9 +117,69 @@ def candidate_pairs(reps: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def prefiltered_candidates(fuzzy_base: DataFrame) -> DataFrame:
+    """Band candidates annotated through the SIZE+HASH prefilter: the
+    gram arrays are projected down to (|grams|, xxhash64(grams)) for
+    the candidate joins, so the wide arrays never flow through the
+    O(candidates) stage. Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    ``size_ok`` (min >= t*max, epsilon-slack so float rounding can only
+    over-admit, never wrongly drop) is a NECESSARY condition for the
+    threshold, and ``hash_eq`` (identical gram arrays, Jaccard 1) is a
+    sufficient fast-accept. Returns (id_a, id_b, hash_eq) for pairs
+    passing either — only these fetch the full arrays for exact
+    verification. At 100x reps this is the difference between shuffling
+    candidate_count wide arrays and candidate_count 16-byte tuples."""
+    cand = banded_candidates(fuzzy_base)
+    meta = fuzzy_base.select(
+        "surface_id",
+        F.size("grams").alias("ng"),
+        F.xxhash64("grams").alias("gh"),
+    )
+    annotated = cand.join(
+        meta.select(
+            F.col("surface_id").alias("id_a"),
+            F.col("ng").alias("na"),
+            F.col("gh").alias("ha"),
+        ),
+        "id_a",
+    ).join(
+        meta.select(
+            F.col("surface_id").alias("id_b"),
+            F.col("ng").alias("nb"),
+            F.col("gh").alias("hb"),
+        ),
+        "id_b",
+    )
+    return annotated.filter(
+        (F.col("ha") == F.col("hb"))
+        | (
+            F.least("na", "nb")
+            >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+    ).select("id_a", "id_b", (F.col("ha") == F.col("hb")).alias("hash_eq"))
+
+
+def candidate_pairs(reps: DataFrame) -> DataFrame:
+    """Fuzzy (id_a, id_b) bridge links between exact-group reps, within
+    entity_type. Only non-value types; minhash over char-3-grams of the
+    key, banded (LSH_BANDS bands of LSH_K/LSH_BANDS rows); band matches
+    pass the size+hash prefilter (``prefiltered_candidates``) and are
+    then verified with exact Jaccard >= threshold — identical-gram
+    pairs (hash_eq) skip the array join entirely.
+
+    ``reps`` needs (surface_id, entity_type, key) — one row per distinct
+    key (the exact-group representative).
+    """
+    fuzzy_base = _fuzzy_base(reps)
+    pre = prefiltered_candidates(fuzzy_base)
+    fast = pre.filter(F.col("hash_eq")).select("id_a", "id_b")
     grams_dim = fuzzy_base.select("surface_id", "grams")
     verified = (
-        cand.join(grams_dim.withColumnRenamed("surface_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        pre.filter(~F.col("hash_eq"))
+        .select("id_a", "id_b")
+        .join(grams_dim.withColumnRenamed("surface_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams_dim.withColumnRenamed("surface_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
         .withColumn(
             "jaccard",
@@ -131,7 +189,7 @@ def candidate_pairs(reps: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b")
     )
-    return verified.distinct()
+    return verified.unionByName(fast).distinct()
 
 
 def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:

@@ -2,10 +2,22 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query is forced end-to-end with the noop sink (full materialization,
-no disk-write variance). The flagship metric is triples/sec for the
-complete extraction pipeline (BASELINE.json: "triples/sec throughput").
-Synthetic-corpus generation is cached and excluded from timings.
+Protocol (noisy-host hardened, BENCH/BASELINE.md): this shared host
+shows up to 4x wall-clock swings for identical jobs, so a single pass
+per query measures the host, not the plan. Each query therefore runs
+``1 + SPARK_GRAFT_BENCH_REPS`` times (default 1 warmup + 3 timed),
+INTERLEAVED — pass 1 of every query, then pass 2 of every query, ... —
+so a slow host phase lands on many queries a little instead of one
+query fully. The reported per-query number is the MIN over timed reps
+(the closest observable to plan cost under external noise); the raw
+rep matrix is included in the JSON so regressions can be separated
+from noise after the fact.
+
+Each query is forced end-to-end with the noop sink (full
+materialization, no disk-write variance). The flagship metric is
+triples/sec for the complete extraction pipeline (BASELINE.json:
+"triples/sec throughput"). Synthetic-corpus generation is cached and
+excluded from timings.
 """
 
 from __future__ import annotations
@@ -21,6 +33,33 @@ from pdf2ontology_spark import synth  # noqa: E402
 from pdf2ontology_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+WARMUP = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+
+BENCH_QUERIES = [
+    "segment_spans",
+    "doc_stats",
+    "reassemble_text",
+    "table_cells",
+    "relationship_entries",
+    "triples_all",
+    "entities_distinct",
+    "nodes",
+    "edges",
+    "canonical_nodes_lsh",
+    "minhash_pairs",
+    "simhash",
+    "lang_id",
+    "token_count",
+    "ann_brute_topk",
+    "assess_media",
+    # round-2 additions
+    "embedding_cosine_pairs",
+    "grid_row_maps",
+    "preprocessed_media",
+    # round-4 additions
+    "media_quality",
+]
 
 
 def _force(make_df) -> float:
@@ -40,31 +79,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    bench_queries = [
-        "segment_spans",
-        "doc_stats",
-        "reassemble_text",
-        "table_cells",
-        "relationship_entries",
-        "triples_all",
-        "entities_distinct",
-        "nodes",
-        "edges",
-        "canonical_nodes_lsh",
-        "minhash_pairs",
-        "simhash",
-        "lang_id",
-        "token_count",
-        "ann_brute_topk",
-        "assess_media",
-        # round-2 additions
-        "embedding_cosine_pairs",
-        "grid_row_maps",
-        "preprocessed_media",
-    ]
-    timings: dict[str, float] = {}
-    for name in bench_queries:
-        timings[name] = round(_force(lambda n=name: qs[n](spark, SF_DIR)), 3)
+    reps: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for pass_i in range(WARMUP + REPS):
+        for name in BENCH_QUERIES:  # interleaved: one pass of EVERY query
+            t = round(_force(lambda n=name: qs[n](spark, SF_DIR)), 3)
+            if pass_i >= WARMUP:
+                reps[name].append(t)
+
+    timings = {name: min(ts) for name, ts in reps.items()}
 
     # flagship throughput: triples/sec over the full extraction
     n_triples = entry.q_triples_all(spark, SF_DIR).count()
@@ -84,6 +106,8 @@ def main() -> None:
         "n_triples": n_triples,
         "triples_per_sec": round(triples_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        "protocol": {"warmup": WARMUP, "reps": REPS, "interleaved": True, "stat": "min"},
+        "raw_reps": reps,
     }
     spark.stop()
     print(json.dumps(result))

@@ -120,66 +120,51 @@ def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
 
 
 def prefiltered_candidates(fuzzy_base: DataFrame) -> DataFrame:
-    """Band candidates annotated through the SIZE+HASH prefilter: the
-    gram arrays are projected down to (|grams|, xxhash64(grams)) for
-    the candidate joins, so the wide arrays never flow through the
-    O(candidates) stage. Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
-    ``size_ok`` (min >= t*max, epsilon-slack so float rounding can only
-    over-admit, never wrongly drop) is a NECESSARY condition for the
-    threshold, and ``hash_eq`` (identical gram arrays, Jaccard 1) is a
-    sufficient fast-accept. Returns (id_a, id_b, hash_eq) for pairs
-    passing either — only these fetch the full arrays for exact
-    verification. At 100x reps this is the difference between shuffling
-    candidate_count wide arrays and candidate_count 16-byte tuples."""
+    """Band candidates passed through the SIZE prefilter: the gram
+    arrays are projected down to |grams| for the candidate joins, so
+    the wide arrays never flow through the O(candidates) stage.
+    Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so ``min >= t*max``
+    (epsilon-slack so float rounding can only over-admit, never wrongly
+    drop) is a NECESSARY condition for the threshold — a pure
+    prefilter: every surviving pair still gets the exact Jaccard
+    verification, so no approximation (hash or otherwise) can ever
+    create a false link. At 100x reps this is the difference between
+    shuffling candidate_count wide arrays and candidate_count 8-byte
+    ints."""
     cand = banded_candidates(fuzzy_base)
-    meta = fuzzy_base.select(
-        "surface_id",
-        F.size("grams").alias("ng"),
-        F.xxhash64("grams").alias("gh"),
-    )
-    annotated = cand.join(
-        meta.select(
-            F.col("surface_id").alias("id_a"),
-            F.col("ng").alias("na"),
-            F.col("gh").alias("ha"),
-        ),
-        "id_a",
-    ).join(
-        meta.select(
-            F.col("surface_id").alias("id_b"),
-            F.col("ng").alias("nb"),
-            F.col("gh").alias("hb"),
-        ),
-        "id_b",
-    )
-    return annotated.filter(
-        (F.col("ha") == F.col("hb"))
-        | (
+    meta = fuzzy_base.select("surface_id", F.size("grams").alias("ng"))
+    return (
+        cand.join(
+            meta.select(F.col("surface_id").alias("id_a"), F.col("ng").alias("na")),
+            "id_a",
+        )
+        .join(
+            meta.select(F.col("surface_id").alias("id_b"), F.col("ng").alias("nb")),
+            "id_b",
+        )
+        .filter(
             F.least("na", "nb")
             >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb") - F.lit(1e-9)
         )
-    ).select("id_a", "id_b", (F.col("ha") == F.col("hb")).alias("hash_eq"))
+        .select("id_a", "id_b")
+    )
 
 
 def candidate_pairs(reps: DataFrame) -> DataFrame:
     """Fuzzy (id_a, id_b) bridge links between exact-group reps, within
     entity_type. Only non-value types; minhash over char-3-grams of the
     key, banded (LSH_BANDS bands of LSH_K/LSH_BANDS rows); band matches
-    pass the size+hash prefilter (``prefiltered_candidates``) and are
-    then verified with exact Jaccard >= threshold — identical-gram
-    pairs (hash_eq) skip the array join entirely.
+    pass the size prefilter (``prefiltered_candidates``) and are then
+    verified with exact Jaccard >= threshold.
 
     ``reps`` needs (surface_id, entity_type, key) — one row per distinct
     key (the exact-group representative).
     """
     fuzzy_base = _fuzzy_base(reps)
     pre = prefiltered_candidates(fuzzy_base)
-    fast = pre.filter(F.col("hash_eq")).select("id_a", "id_b")
     grams_dim = fuzzy_base.select("surface_id", "grams")
     verified = (
-        pre.filter(~F.col("hash_eq"))
-        .select("id_a", "id_b")
-        .join(grams_dim.withColumnRenamed("surface_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        pre.join(grams_dim.withColumnRenamed("surface_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams_dim.withColumnRenamed("surface_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
         .withColumn(
             "jaccard",
@@ -189,7 +174,7 @@ def candidate_pairs(reps: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b")
     )
-    return verified.unionByName(fast).distinct()
+    return verified.distinct()
 
 
 def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:

@@ -513,7 +513,7 @@ SELECT doc_id, media_ref, off AS "offset",
 FROM spans WHERE kind = 'media'"""
 
 
-def media_quality_sql(tag: str = "sf0.01", h: int = 16, w: int = 16) -> str:
+def media_quality_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
     """Independent DuckDB twin of media.media_quality: the synth_raster
     pattern is closed-form per pixel, so every kernel tap (Laplacian
     reflect-101 neighbors, the 25 clamped 5x5-median taps) is a plain
@@ -521,6 +521,10 @@ def media_quality_sql(tag: str = "sf0.01", h: int = 16, w: int = 16) -> str:
     exact integer sums as the numpy side. This genuinely re-verifies
     the engine's numpy kernel math: the two implementations share only
     the pattern definition and the published reference formulas."""
+    from pdf2ontology_spark.operators.media import QUALITY_GRID_H, QUALITY_GRID_W
+
+    h = QUALITY_GRID_H if h is None else h
+    w = QUALITY_GRID_W if w is None else w
 
     def v(xe: str, ye: str) -> str:
         # the synth_raster pixel: lo + (a*x + b*y + c*x*y + d) % (rng+1)

@@ -66,12 +66,17 @@ TEXT_PATTERNS = [
 # Anchoring: a bare `$` is NOT dialect-identical — Java regex and
 # Python `re` let it match before a trailing '\n' while DuckDB's RE2
 # matches end-of-text only, so a span ending ".\n" would terminate in
-# the engine but not in the oracle. `\s*$` makes the three dialects
-# agree: the whitespace run is consumed first and `$` then sits at the
-# true end of text in every engine.
-TERMINATOR_RE = r"[.!?]\s*$"
+# the engine but not in the oracle. Consuming the trailing whitespace
+# run first puts `$` at the true end of text in every engine. The run
+# is an EXPLICIT ASCII class, not `\s`: Python's `\s` is Unicode-wide
+# (U+00A0 etc.) while Java and RE2 default to ASCII — the explicit
+# class is the actual common subset.
+_WS = r"[ \t\r\n\f]*"
+TERMINATOR_RE = r"[.!?]" + _WS + "$"
 ABBREV_RE = (
-    r"(^|[ (])([A-Za-zÄÖÜäöü]|z\.B|Nr|Dr|Abb|bzw|ca|evtl|ggf|inkl|Inc|Ltd|Co)\.\s*$"
+    r"(^|[ (])([A-Za-zÄÖÜäöü]|z\.B|Nr|Dr|Abb|bzw|ca|evtl|ggf|inkl|Inc|Ltd|Co)\."
+    + _WS
+    + "$"
 )
 
 

@@ -66,7 +66,15 @@ def tune_split_bytes(spark: SparkSession, path: str) -> int:
     with a 4MB split would plan ~25k tasks of pure scheduling overhead.
     Targets ``_SPLIT_WAVES`` waves of ``defaultParallelism`` tasks,
     clamped to [4MB, 128MB]. ``SPARK_GRAFT_MAX_PARTITION_BYTES`` pins
-    the value explicitly and disables the tuner."""
+    the value explicitly and disables the tuner.
+
+    The session conf only RATCHETS UP: Spark reads
+    spark.sql.files.maxPartitionBytes at execution time, so a
+    small-corpus load after a large-corpus plan was built must not
+    shrink the splits the large scan will execute with (4MB splits on
+    100GB is the 25k-task pathology this tuner exists to prevent). The
+    cost of the ratchet — a small corpus loaded after a big one scans
+    in fewer, larger waves — is bounded and benign by comparison."""
     pinned = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     if pinned:
         return int(pinned)
@@ -74,8 +82,25 @@ def tune_split_bytes(spark: SparkSession, path: str) -> int:
     target = max(
         _SPLIT_FLOOR, min(_SPLIT_CAP, _scan_bytes(path) // max(1, cores * _SPLIT_WAVES))
     )
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    current = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "0"))
+    target = max(target, current)
+    if target != current:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     return target
+
+
+def _data_files(path: str) -> list[str]:
+    """The parquet data files of a table path (single file or Spark
+    directory layout) — the ONE place that knows the on-disk layout,
+    shared by the byte sizing, row-count and schema-peek helpers."""
+    if not os.path.isdir(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return out
 
 
 def table_rows(sf_dir: str, name: str) -> int:
@@ -89,14 +114,7 @@ def table_rows(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.isdir(path):
-        return pq.ParquetFile(path).metadata.num_rows
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _data_files(path))
 
 
 def embedding_dim(sf_dir: str, name: str = "embeddings", col: str = "embedding") -> int:
@@ -105,13 +123,9 @@ def embedding_dim(sf_dir: str, name: str = "embeddings", col: str = "embedding")
     job. Paired with ``table_rows`` it lets the similarity/dedup
     operators build their plans fully lazily (every row is still
     length-checked at run time by ``similarity._checked_vec``)."""
-    import glob
-
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        path = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))[0]
+    path = _data_files(os.path.join(sf_dir, f"{name}.parquet"))[0]
     batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
     return len(batch.column(0)[0])
 
@@ -149,14 +163,7 @@ def _scan_bytes(path: str) -> int:
     size (~4KB) — which would make the small-scan test always pass and
     shuffle the full corpus for nothing — so directories sum their data
     files instead."""
-    if not os.path.isdir(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+    return sum(os.path.getsize(f) for f in _data_files(path))
 
 
 def load_detections(spark: SparkSession, sf_dir: str) -> DataFrame:

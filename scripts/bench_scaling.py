@@ -116,7 +116,20 @@ print("RESULT " + json.dumps({"reps": reps, "n_triples": n, "hist": hist}))
 
 
 def run_session(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_EVENTLOG=EVDIR)
+    # Pin the scan-split size ACROSS the two parallelism levels: split
+    # sizing is a storage-layout property, and tables.tune_split_bytes
+    # would otherwise pick per-level values (bytes/cores/waves), making
+    # the two runs read different task shapes — the controlled variable
+    # of the two-cluster-size comparison is cores, nothing else. 4MB is
+    # the r3 operating point (4-5 waves at 32 cores on this corpus).
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_EVENTLOG=EVDIR,
+        SPARK_GRAFT_MAX_PARTITION_BYTES=os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+        ),
+    )
     code = WORKER % {"repo": REPO, "tag": TAG, "timed": TIMED_REPS, "evdir": EVDIR}
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,

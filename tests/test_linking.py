@@ -103,8 +103,7 @@ def test_prefilter_equivalence_and_volume(spark):
     assert got == {(r.id_a, r.id_b) for r in ref.collect()}
 
     raw = linking.banded_candidates(base).count()
-    pre = linking.prefiltered_candidates(base)
-    array_join_rows = pre.filter("NOT hash_eq").count()
+    array_join_rows = linking.prefiltered_candidates(base).count()
     assert array_join_rows < raw, (array_join_rows, raw)
     # mixed-length band collisions must be dropped before the array join
     assert array_join_rows <= 0.8 * raw, f"prefilter only kept {array_join_rows}/{raw}"

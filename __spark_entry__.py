@@ -424,6 +424,23 @@ def q_assess_media(spark, sf_dir):
     )
 
 
+def q_assess_media_real(spark, sf_dir):
+    return condition.assess_media_real(_spans(spark, sf_dir)).select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "contrast_score",
+        "brightness_score",
+        "sharpness_score",
+        "noise_level",
+        "quality",
+        "skew_deg",
+        "rotation_deg",
+        F.col("needs_processing").cast("int").alias("needs_processing"),
+        F.array_join("actions", "|").alias("actions_joined"),
+    )
+
+
 def q_preprocessed_media(spark, sf_dir):
     out = media.apply_actions(condition.assess_media(_spans(spark, sf_dir)))
     return out.select(
@@ -558,6 +575,12 @@ def q_media_quality(spark, sf_dir):
     return media.media_quality(_spans(spark, sf_dir))
 
 
+def q_content_layout(spark, sf_dir):
+    # REAL projection math (the reference ContentAnalyzer's column
+    # detector) over the deterministic synthetic raster.
+    return media.content_layout(_spans(spark, sf_dir))
+
+
 def q_media_stats(spark, sf_dir):
     return media.media_stats(media.media_features(_spans(spark, sf_dir)))
 
@@ -619,12 +642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_angle": q_dominant_angle,
         "media_features": q_media_features,
         "media_quality": q_media_quality,
+        "content_layout": q_content_layout,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "merged_sentences": q_merged_sentences,
         "ner_mentions": q_ner_mentions,
         "classify_documents": q_classify_documents,
         "assess_media": q_assess_media,
+        "assess_media_real": q_assess_media_real,
         "preprocessed_media": q_preprocessed_media,
         "condition_rollup": q_condition_rollup,
         "pricing_summary": q_pricing_summary,
@@ -639,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = oracles
     tag = ORACLE_TAG
+    _n_emb = tables.table_rows(f"/root/testdata/{tag}", "embeddings")
+    _ivf_c = similarity.centroids_for_corpus(_n_emb)
+    _ivf_p = similarity.nprobe_for_centroids(_ivf_c)
     W = "WITH " + o.spans_cte(tag)
     WC = W + "," + o.cells_cte()
     WE = WC + "," + o.entries_ctes()
@@ -824,8 +852,15 @@ GROUP BY 1 HAVING count(*) >= 2""",
         "ann_brute_topk": oracles_data.ann_brute_sql(k=5, n_queries=8),
         "ann_lsh_topk": oracles_data.ann_lsh_sql(k=5, n_queries=8),
         "ann_recall": oracles_data.ann_recall_sql(k=5, n_queries=8),
-        "ann_ivf_topk": oracles_data.ann_ivf_sql(k=5, n_queries=8),
-        "ann_ivf_recall": oracles_data.ann_ivf_recall_sql(k=5, n_queries=8),
+        # quantizer constants derived from the ORACLE tag's actual
+        # corpus size, exactly as the engine derives them — so parity
+        # holds at ANY tag, not just where auto == the old pinned 16/2
+        "ann_ivf_topk": oracles_data.ann_ivf_sql(
+            k=5, n_queries=8, n_centroids=_ivf_c, nprobe=_ivf_p
+        ),
+        "ann_ivf_recall": oracles_data.ann_ivf_recall_sql(
+            k=5, n_queries=8, n_centroids=_ivf_c, nprobe=_ivf_p
+        ),
         "embedding_pairs_recall": oracles_data.embedding_pairs_recall_sql(
             threshold=0.45
         ),
@@ -870,12 +905,14 @@ SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGI
         "dominant_angle": oracles_data.dominant_angle_sql(tag),
         "media_features": oracles_data.media_features_sql(tag),
         "media_quality": oracles_data.media_quality_sql(tag),
+        "content_layout": oracles_data.content_layout_sql(tag),
         "media_stats": oracles_data.media_stats_sql(tag),
         "frame_samples": oracles_data.frame_samples_sql(tag),
         "merged_sentences": oracles_data.merged_sentences_sql(tag),
         "ner_mentions": oracles_data.ner_mentions_sql(tag),
         "classify_documents": oracles_data.classify_sql(tag),
         "assess_media": oracles_data.assess_media_sql(tag),
+        "assess_media_real": oracles_data.assess_media_real_sql(tag),
         "preprocessed_media": oracles_data.preprocessed_media_sql(tag),
         "condition_rollup": oracles_data.condition_rollup_sql(tag),
         "pricing_summary": """

@@ -100,6 +100,58 @@ def assess_media(spans: DataFrame) -> DataFrame:
     ).drop("_bi", "_ci", "_si", "_ni")
 
 
+def assess_media_real(spans: DataFrame) -> DataFrame:
+    """``assess_media`` with the REAL quality-metric family: consumes
+    ``media.media_quality``'s numpy-computed scores (the reference
+    QualityAssessor kernels — Laplacian variance, 5x5 median filter —
+    over the synthetic raster) instead of the hash-stub metric columns.
+    Thresholds, the 0.3/0.2/0.3/0.2 composite (already inside
+    ``overall_score``), the skip predicate, and the priority-ordered
+    plan are identical to ``assess_media``. skew/rotation remain
+    sha-derived stubs: real Hough-line skew and orientation detection
+    need cv2 (document_analysis_utils.py:103-412), which this sandbox
+    lacks — that is the LAST stubbed metric family.
+
+    Output: (doc_id, offset, media_ref, contrast_score,
+    brightness_score, sharpness_score, noise_level, quality, skew_deg,
+    rotation_deg, needs_processing, actions)."""
+    from pdf2ontology_spark.operators import media
+
+    h = F.sha2(F.col("media_ref"), 256)
+    df = (
+        media.media_quality(spans)
+        .withColumn("skew_deg", (_hexval(h, 17, 4) % 21 - 10).cast("int"))
+        .withColumn("rotation_deg", ((_hexval(h, 21, 2) % 4) * 90).cast("int"))
+        .withColumnRenamed("overall_score", "quality")
+    )
+    raw_actions = F.concat(
+        F.when(F.col("rotation_deg") != 0, F.array(F.lit("rotate"))).otherwise(F.array()),
+        F.when(F.abs(F.col("skew_deg")) >= 2, F.array(F.lit("deskew"))).otherwise(
+            F.array()
+        ),
+        F.when(F.col("contrast_score") < 0.4, F.array(F.lit("enhance_contrast"))).otherwise(
+            F.array()
+        ),
+        F.when(
+            F.col("brightness_score") < 0.3, F.array(F.lit("gamma_correction"))
+        ).otherwise(F.array()),
+        F.when(F.col("noise_level") > 0.6, F.array(F.lit("denoise"))).otherwise(F.array()),
+        F.when(F.col("sharpness_score") < 0.3, F.array(F.lit("sharpen"))).otherwise(
+            F.array()
+        ),
+    )
+    df = df.withColumn(
+        "needs_processing",
+        (F.col("quality") <= SKIP_QUALITY) & (F.size(raw_actions) > 0),
+    )
+    return df.withColumn(
+        "actions",
+        F.when(
+            F.col("needs_processing"), fn.priority_sorted_actions(raw_actions)
+        ).otherwise(F.array().cast("array<string>")),
+    ).drop("issues_joined")
+
+
 def condition_rollup(assessed: DataFrame) -> DataFrame:
     """Corpus-level issue/action frequency (A13 —
     document_preprocessing_chain.py:329-347): counts per action."""

@@ -198,6 +198,87 @@ def assess_quality_gray(gray) -> dict:
     }
 
 
+LAYOUT_SCHEMA = (
+    "doc_id string, media_ref string, offset int, column_count int, "
+    "dark_ratio double, multi_column boolean"
+)
+
+
+def detect_columns_gray(gray) -> int:
+    """The reference ContentAnalyzer's column detector — REAL math, not
+    a stub (/root/reference/src/utils/document_analysis_utils.py:
+    636-671): vertical ink projection (count of pixels < 128 per
+    column), box-kernel smoothing (k = max(5, min(20, w//50))), valleys
+    where the smoothed profile drops under 0.3x its mean, and maximal
+    non-valley runs wider than w//10 counted as columns.
+
+    Numerics: the reference compares float profiles; this port compares
+    the EQUIVALENT integer form — S_i * w < (sum_i S_i) * 0.3, where
+    S_i is the un-normalized window sum (the 1/k and 1/(w*k) factors
+    cancel) — so the engine and the DuckDB twin branch identically on
+    every pixel pattern with a single deterministic float multiply."""
+    import numpy as np
+
+    h, w = gray.shape
+    proj = (gray < 128).sum(axis=0)  # ink per column, ints
+    k = max(5, min(20, w // 50))
+    m = (k - 1) // 2
+    # un-normalized box sums; window bounds exactly as np.convolve
+    # 'same' places a k-tap kernel (for even k it extends one EARLIER):
+    # out[i] covers proj[i-(k-1)+m .. i+m], zero-padded at the edges
+    s = np.array(
+        [int(proj[max(0, i - (k - 1) + m) : i + m + 1].sum()) for i in range(w)]
+    )
+    total = int(s.sum())
+    valley = (s * w) < (total * 0.3)
+    min_w = w // 10
+    regions = 0
+    in_valley = False
+    start_col = 0
+    for i, is_v in enumerate(valley):
+        if not in_valley and is_v:
+            if i - start_col > min_w:
+                regions += 1
+            in_valley = True
+        elif in_valley and not is_v:
+            start_col = i
+            in_valley = False
+    if not in_valley and w - start_col > min_w:
+        regions += 1
+    return max(1, regions)
+
+
+def content_layout(spans: DataFrame) -> DataFrame:
+    """media spans -> content-layout rows (column count, ink ratio) via
+    the same mapInPandas seam as the quality metrics: the raster is the
+    deterministic ``synth_raster`` stub, the layout analysis is the
+    reference ContentAnalyzer's real projection math
+    (``detect_columns_gray``). Handwriting / layout-complexity need
+    contour extraction (cv2.findContours) and stay behind the decode
+    seam until a real image stack is present."""
+    import math
+
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+    def layout_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols, darks = [], []
+            for ref in pdf["media_ref"]:
+                g = synth_raster(ref)
+                cols.append(detect_columns_gray(g))
+                dark = int((g < 128).sum())
+                darks.append(math.floor(dark / g.size * 10000.0) / 10000.0)
+            out = pdf[["doc_id", "media_ref", "offset"]].copy()
+            out["column_count"] = cols
+            out["dark_ratio"] = darks
+            out["multi_column"] = [c > 1 for c in cols]
+            yield out
+
+    return media.mapInPandas(layout_batches, schema=LAYOUT_SCHEMA)
+
+
 def media_quality(spans: DataFrame) -> DataFrame:
     """media spans -> per-image quality assessment via mapInPandas: the
     fetch/decode is the deterministic ``synth_raster`` stub (no image

@@ -483,6 +483,39 @@ SELECT doc_id, off AS "offset", media_ref, brightness, contrast, sharpness,
 FROM flags"""
 
 
+def assess_media_real_sql(tag: str = "sf0.01") -> str:
+    """Twin of condition.assess_media_real: the real pixel-kernel
+    quality scores (media_quality_sql) feeding the same thresholds,
+    skip predicate and priority-ordered action plan; skew/rotation stay
+    the sha-derived stubs."""
+    sha = "sha256(media_ref)"
+    plan = """concat_ws('|',
+      CASE WHEN rotation_deg <> 0 THEN 'rotate' END,
+      CASE WHEN abs(skew_deg) >= 2 THEN 'deskew' END,
+      CASE WHEN contrast_score < 0.4 THEN 'enhance_contrast' END,
+      CASE WHEN brightness_score < 0.3 THEN 'gamma_correction' END,
+      CASE WHEN noise_level > 0.6 THEN 'denoise' END,
+      CASE WHEN sharpness_score < 0.3 THEN 'sharpen' END)"""
+    return f"""
+WITH base AS ({media_quality_sql(tag)}),
+flags AS (
+  SELECT doc_id, media_ref, "offset", contrast_score, brightness_score,
+    sharpness_score, noise_level, overall_score AS quality,
+    CAST({hexval(sha, 17, 4)} % 21 - 10 AS INTEGER) AS skew_deg,
+    CAST(({hexval(sha, 21, 2)} % 4) * 90 AS INTEGER) AS rotation_deg
+  FROM base),
+f2 AS (
+  SELECT *, (quality <= 0.8 AND (rotation_deg <> 0 OR abs(skew_deg) >= 2
+      OR contrast_score < 0.4 OR brightness_score < 0.3 OR noise_level > 0.6
+      OR sharpness_score < 0.3)) AS needs_processing
+  FROM flags)
+SELECT doc_id, "offset", media_ref, contrast_score, brightness_score,
+  sharpness_score, noise_level, quality, skew_deg, rotation_deg,
+  CAST(needs_processing AS INTEGER) AS needs_processing,
+  CASE WHEN needs_processing THEN {plan} ELSE '' END AS actions_joined
+FROM f2"""
+
+
 def condition_rollup_sql(tag: str = "sf0.01") -> str:
     parts = [
         f"SELECT '{a}' AS action, sum(CASE WHEN needs_processing AND {flag} THEN 1 ELSE 0 END) AS n FROM flags"
@@ -592,6 +625,74 @@ SELECT doc_id, media_ref, off AS "offset",
     CASE WHEN sharpness < 0.3 THEN 'blurry_image|' ELSE '' END,
     CASE WHEN noise > 0.6 THEN 'noisy_image|' ELSE '' END), '|') AS issues_joined
 FROM scores"""
+
+
+def content_layout_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
+    """Independent DuckDB twin of media.content_layout: vertical ink
+    projection over the closed-form raster, box smoothing as a window
+    sum, valleys via the integer-reformulated threshold (S_i * w <
+    total * 0.3 — the 1/k, 1/(w*k) normalizations cancel), non-valley
+    runs via gaps-and-islands, columns = runs wider than w//10."""
+    from pdf2ontology_spark.operators.media import QUALITY_GRID_H, QUALITY_GRID_W
+
+    h = QUALITY_GRID_H if h is None else h
+    w = QUALITY_GRID_W if w is None else w
+    k = max(5, min(20, w // 50))
+    assert k % 2 == 1, "even smoothing kernels need asymmetric-window SQL"
+    m = (k - 1) // 2
+    min_w = w // 10
+    e_expr = hexval("h", 9, 2)
+    vexpr = "(lo + (a*x + b*y + c*x*y + d) % (rng + 1))"
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+params AS MATERIALIZED (
+  SELECT doc_id, media_ref, off,
+    {hexval("h", 1, 2)} % 8 AS a, {hexval("h", 3, 2)} % 8 AS b,
+    {hexval("h", 5, 2)} % 3 AS c, {hexval("h", 7, 2)} AS d,
+    16 + {e_expr} % 180 AS rng,
+    {hexval("h", 11, 2)} % (256 - (16 + {e_expr} % 180)) AS lo
+  FROM (SELECT doc_id, media_ref, off, sha256(media_ref) AS h
+        FROM spans WHERE kind = 'media')),
+proj AS (
+  SELECT doc_id, media_ref, off, x,
+    sum(CASE WHEN {vexpr} < 128 THEN 1 ELSE 0 END) AS ink
+  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)
+  GROUP BY doc_id, media_ref, off, x),
+smooth AS (
+  SELECT doc_id, media_ref, off, x,
+    sum(ink) OVER (PARTITION BY doc_id, media_ref, off ORDER BY x
+                   ROWS BETWEEN {k - 1 - m} PRECEDING AND {m} FOLLOWING) AS s
+  FROM proj),
+tot AS (
+  SELECT doc_id, media_ref, off, sum(s) AS total
+  FROM smooth GROUP BY doc_id, media_ref, off),
+valley AS (
+  SELECT s.doc_id, s.media_ref, s.off, s.x,
+    (s.s * {w} < CAST(t.total AS DOUBLE) * 0.3) AS is_v
+  FROM smooth s JOIN tot t USING (doc_id, media_ref, off)),
+wide_runs AS (
+  SELECT doc_id, media_ref, off FROM (
+    SELECT doc_id, media_ref, off,
+      x - row_number() OVER (PARTITION BY doc_id, media_ref, off
+                             ORDER BY x) AS grp
+    FROM valley WHERE NOT is_v)
+  GROUP BY doc_id, media_ref, off, grp
+  HAVING count(*) > {min_w}),
+counts AS (
+  SELECT doc_id, media_ref, off, count(*) AS n_wide
+  FROM wide_runs GROUP BY doc_id, media_ref, off),
+dark AS (
+  SELECT doc_id, media_ref, off,
+    sum(CASE WHEN {vexpr} < 128 THEN 1 ELSE 0 END) AS n_dark
+  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)
+  GROUP BY doc_id, media_ref, off)
+SELECT p.doc_id, p.media_ref, p.off AS "offset",
+  CAST(greatest(1, coalesce(c.n_wide, 0)) AS INTEGER) AS column_count,
+  floor(CAST(d.n_dark AS DOUBLE) / {h * w} * 10000.0) / 10000.0 AS dark_ratio,
+  (coalesce(c.n_wide, 0) > 1) AS multi_column
+FROM params p
+LEFT JOIN counts c USING (doc_id, media_ref, off)
+JOIN dark d USING (doc_id, media_ref, off)"""
 
 
 def media_stats_sql(tag: str = "sf0.01") -> str:

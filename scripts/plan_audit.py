@@ -31,6 +31,8 @@ AUDIT = [
     "ann_ivf_topk",
     "grid_row_maps",
     "preprocessed_media",
+    "media_quality",
+    "content_layout",
     "shipping_priority",
     "sessionize",
 ]

@@ -84,6 +84,71 @@ def test_assess_quality_reference_formulas():
     )
 
 
+def _reference_detect_columns(gray):
+    """The reference's float implementation verbatim-in-structure
+    (document_analysis_utils.py:636-671) — np.convolve smoothing and
+    float threshold — used to prove the engine's integer reformulation
+    branches identically."""
+    vertical_proj = np.sum(gray < 128, axis=0)
+    kernel_size = max(5, min(20, len(vertical_proj) // 50))
+    kernel = np.ones(kernel_size) / kernel_size
+    smoothed = np.convolve(vertical_proj, kernel, mode="same")
+    threshold = np.mean(smoothed) * 0.3
+    valleys = smoothed < threshold
+    column_regions = []
+    in_valley = False
+    start_col = 0
+    min_column_width = len(vertical_proj) // 10
+    for i, is_valley in enumerate(valleys):
+        if not in_valley and is_valley:
+            if i - start_col > min_column_width:
+                column_regions.append((start_col, i))
+            in_valley = True
+        elif in_valley and not is_valley:
+            start_col = i
+            in_valley = False
+    if not in_valley and len(vertical_proj) - start_col > min_column_width:
+        column_regions.append((start_col, len(vertical_proj)))
+    return max(1, len(column_regions))
+
+
+def test_detect_columns_matches_reference_float_impl():
+    rng = np.random.RandomState(11)
+    for _ in range(60):
+        g = rng.randint(0, 256, size=(16, 16)).astype(np.int64)
+        assert media.detect_columns_gray(g) == _reference_detect_columns(g)
+    # synthetic refs too (what the operator actually sees)
+    for i in range(60):
+        g = media.synth_raster(f"ref{i}")
+        assert media.detect_columns_gray(g) == _reference_detect_columns(g)
+
+
+def test_detect_columns_two_column_page():
+    g = np.full((16, 16), 255, dtype=np.int64)
+    g[:, 0:6] = 0  # left text column
+    g[:, 10:16] = 0  # right text column
+    assert media.detect_columns_gray(g) == 2
+    assert media.detect_columns_gray(np.zeros((16, 16), dtype=np.int64)) == 1
+
+
+def test_content_layout_operator(spark):
+    spans = spark.createDataFrame(
+        [
+            ("d1", "media", "", "m/ref1", 0),
+            ("d1", "text", "Ein Satz.", "", 10),
+            ("d2", "media", "", "m/ref2", 0),
+        ],
+        "doc_id string, kind string, text string, media_ref string, offset int",
+    )
+    rows = {r.media_ref: r for r in media.content_layout(spans).collect()}
+    assert set(rows) == {"m/ref1", "m/ref2"}
+    for ref, r in rows.items():
+        g = media.synth_raster(ref)
+        assert r.column_count == media.detect_columns_gray(g)
+        assert r.multi_column == (r.column_count > 1)
+        assert abs(r.dark_ratio - (g < 128).mean()) < 1e-4
+
+
 def test_media_quality_operator(spark):
     spans = spark.createDataFrame(
         [

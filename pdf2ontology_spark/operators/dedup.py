@@ -32,6 +32,19 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^a-z0-9äöüß]+"), lambda w: w != "")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a document table whose scan under-uses the session's
+    cores: a small parquet table is often ONE split, which serializes
+    the expensive pre-shuffle stage (shingle explode + per-shingle
+    hashing) onto one core — measured as most of minhash_pairs' wall
+    time at sf0.1. At corpus scale the table has plenty of splits and
+    this is a no-op (no shuffle)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part, key)
+    return df
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> DataFrame:
     """(id, text) -> distinct (id, shingle) word-w-gram rows.
 
@@ -42,13 +55,22 @@ def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> D
     row per id (a document table, not a span table) — with multiple
     rows per id the count-based Jaccard consumers (sizes/intersections)
     would silently double-count; pre-aggregate such input first."""
-    words = _words(F.col(text_col))
+    # Generate barrier (explode of a 1-element array): materialize the
+    # tokenized words array ONCE per row. Without it, Project-collapse
+    # re-inlines the split+filter expression into EVERY slice() of the
+    # shingle transform — O(n_words^2) interpreted re-evaluations per
+    # document (measured: the entire minhash wall time at sf0.1 was
+    # this amplification, 9.6s -> sub-second for the shingle stage).
+    base = df.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w0")
+    ).select("id", F.explode(F.array("w0")).alias("words"))
+    words = F.col("words")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, w), " "),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    return base.select(
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
     ).filter(F.col("shingle") != "")
 
 
@@ -176,7 +198,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     long — bit 63 adds LONG_MIN (the two's-complement value of 2^63),
     which is carry-free because the other 63 bits sum to < 2^63.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("tok")
     ).select("id", F.md5("tok").alias("h"))
 

@@ -100,12 +100,15 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, w: int = 5) -> DataFr
     """Winnowing-style document fingerprint: min md5 over all w-word
     windows (rolling-hash analog, deterministic, order-sensitive).
     (id, fingerprint)."""
-    words = _words(F.col(text_col))
+    # Generate barrier: materialize the tokenized words ONCE per row —
+    # without it every slice() re-inlines the split+filter tokenization
+    # (O(n_words^2) interpreted re-evaluations; see dedup.shingles)
+    base = df.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w0")
+    ).select("id", F.explode(F.array("w0")).alias("words"))
+    words = F.col("words")
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - w, F.lit(0))),
         lambda i: F.md5(F.array_join(F.slice(words, i + 1, w), " ")),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_min(windows).alias("fingerprint"),
-    )
+    return base.select("id", F.array_min(windows).alias("fingerprint"))

@@ -58,3 +58,17 @@ def test_media_features_is_arrow_batched(spark):
     plan = plan_of(entry.q_media_features(spark, SF))
     assert "MapInPandas" in plan, "media decode must be the Arrow-batched path"
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
+
+
+def test_shingle_stage_materializes_words_once(spark):
+    """The shingle transform must read a MATERIALIZED words array, not
+    re-inline the split+filter tokenization into every slice() — the
+    O(n_words^2) interpreted amplification that was the entire minhash
+    wall time at sf0.1. One split() in the plan = one tokenization."""
+    from pdf2ontology_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [("d1", "eins zwei drei vier fünf")], "doc_id string, text string"
+    )
+    plan = plan_of(dedup.shingles(docs, "doc_id", "text"))
+    assert plan.count("split(") == 1, plan

@@ -664,9 +664,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = oracles
     tag = ORACLE_TAG
-    _n_emb = tables.table_rows(f"/root/testdata/{tag}", "embeddings")
-    _ivf_c = similarity.centroids_for_corpus(_n_emb)
-    _ivf_p = similarity.nprobe_for_centroids(_ivf_c)
+    # IVF quantizer constants derived from the tag's actual corpus size
+    # exactly like the engine; if the driver testdata is absent (SQL
+    # strings being built outside the driver environment), fall back to
+    # the pinned sf0.01 operating point rather than failing eagerly
+    try:
+        _n_emb = tables.table_rows(f"/root/testdata/{tag}", "embeddings")
+        _ivf_c = similarity.centroids_for_corpus(_n_emb)
+        _ivf_p = similarity.nprobe_for_centroids(_ivf_c)
+    except (FileNotFoundError, IndexError, OSError):
+        _ivf_c, _ivf_p = 16, 2
     W = "WITH " + o.spans_cte(tag)
     WC = W + "," + o.cells_cte()
     WE = WC + "," + o.entries_ctes()

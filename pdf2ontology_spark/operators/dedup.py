@@ -33,16 +33,15 @@ def _words(text: Column) -> Column:
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-spread a document table whose scan under-uses the session's
-    cores: a small parquet table is often ONE split, which serializes
-    the expensive pre-shuffle stage (shingle explode + per-shingle
-    hashing) onto one core — measured as most of minhash_pairs' wall
-    time at sf0.1. At corpus scale the table has plenty of splits and
-    this is a no-op (no shuffle)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
-        return df.repartition(n_part, key)
-    return df
+    """similarity.spread_small_scan — used here by simhash, whose
+    64-sum-agg token stage gains from width (measured 4.5s -> 1.9s at
+    sf0.1). The shingle path deliberately does NOT spread: its cost was
+    expression re-evaluation (fixed by the Generate barrier in
+    ``shingles``), and shuffling the raw text costs more than the
+    single-core scan stage at small scale."""
+    from pdf2ontology_spark.operators import similarity
+
+    return similarity.spread_small_scan(df, key)
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> DataFrame:

@@ -45,6 +45,21 @@ def planes_for_corpus(
     return min(cap, max(floor, math.ceil(math.log2(n / target_bucket))))
 
 
+def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a table whose scan under-uses the session's cores: a
+    small parquet table is often ONE split, which serializes the
+    expensive downstream stage (signature kernels, token explode +
+    per-token hashing) onto one core. At corpus scale the table has
+    plenty of splits and this is a no-op (no shuffle). Only worth it
+    when the per-row work downstream outweighs shuffling the rows —
+    e.g. NOT for the raw shingle explode, where shuffling the text
+    costs more than the single-core stage (measured at sf0.1)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part, key)
+    return df
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -195,6 +210,7 @@ def banded_signatures(
     planes_per_band: int = 4,
     bands: int = 8,
     dim: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, band, band_key): ``bands`` independent hyperplane-LSH tables
     of ``planes_per_band`` bits each. Two vectors at angle theta collide
@@ -206,19 +222,18 @@ def banded_signatures(
 
     ``dim`` is the vector width; when omitted it is sampled from one row
     (a tiny eager job at plan-build time) — either way every row is
-    length-checked (``_checked_vec``) so heterogeneous vectors fail
-    loudly instead of producing silently biased signatures."""
+    length/null-checked inside the band-key kernel (``_band_keys_udf``:
+    a mismatched or NULL vector raises with the expected/got message)
+    so heterogeneous vectors fail loudly instead of producing silently
+    biased signatures. ``spread=False`` skips the small-scan
+    repartition for inputs known to be tiny (e.g. a query batch that
+    broadcasts later anyway)."""
     if dim is None:
         dim = _vec_dim(emb, vec_col)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # the signature kernel is the expensive stage, and a small
-    # embeddings table often scans as ONE split — which serializes the
-    # whole stage onto one core. Spread it when the scan under-uses the
-    # session's parallelism; at corpus scale the table has plenty of
-    # splits and no shuffle happens.
-    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() < n_part:
-        base = base.repartition(n_part, "id")
+    if spread:
+        # the signature kernel is the expensive stage; see spread_small_scan
+        base = spread_small_scan(base, "id")
     keys = _band_keys_udf(planes_per_band, bands, dim)
     return base.select("id", keys(F.col("v")).alias("keys")).select(
         "id", F.posexplode("keys").alias("band", "band_key")
@@ -434,8 +449,12 @@ def lsh_topk(
     ~bands * probes * n/2^planes_per_band."""
     corpus_bb = banded_signatures(emb, id_col, vec_col, planes_per_band, bands, dim
                                   ).withColumnRenamed("id", "corpus_id")
+    # query side: a handful of rows that broadcast below — spreading
+    # them across the shuffle width would add an exchange for nothing
     probed_q = probe_signatures(
-        banded_signatures(queries, id_col, vec_col, planes_per_band, bands, dim),
+        banded_signatures(
+            queries, id_col, vec_col, planes_per_band, bands, dim, spread=False
+        ),
         planes_per_band,
     ).withColumnRenamed("id", "query_id")
     cand = (

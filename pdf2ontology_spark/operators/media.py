@@ -409,8 +409,10 @@ def media_quality(spans: DataFrame) -> DataFrame:
 
     def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # chunk the raster stack: the 25-tap median materializes
-        # 25*B*h*w doubles — bound it regardless of Arrow batch size
-        chunk = 2048
+        # 25*B*h*w doubles — keep the working set cache-resident (32
+        # concurrent Python workers share one socket's DRAM; a 100MB
+        # stack per worker turns the stage memory-bound)
+        chunk = 256
         for pdf in batches:
             outs = []
             for lo in range(0, len(pdf), chunk):

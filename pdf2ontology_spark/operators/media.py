@@ -217,21 +217,29 @@ def detect_columns_gray(gray) -> int:
     S_i is the un-normalized window sum (the 1/k and 1/(w*k) factors
     cancel) — so the engine and the DuckDB twin branch identically on
     every pixel pattern with a single deterministic float multiply."""
+    return detect_columns_batch(gray[None, :, :])[0]
+
+
+def detect_columns_batch(G) -> list:
+    """Column counts for a (B, h, w) raster stack — the ONE home of the
+    smoothing/valley math, shared by the per-image reference wrapper
+    above and the content_layout operator.
+
+    Window bounds are exactly where np.convolve 'same' places a k-tap
+    kernel (for even k it extends one EARLIER): out[i] covers
+    proj[i-(k-1)+m .. i+m], zero-padded at the edges."""
     import numpy as np
 
-    h, w = gray.shape
-    proj = (gray < 128).sum(axis=0)  # ink per column, ints
+    B, h, w = G.shape
+    proj = (G < 128).sum(axis=1)  # (B, w) ink per column, ints
     k = max(5, min(20, w // 50))
     m = (k - 1) // 2
-    # un-normalized box sums; window bounds exactly as np.convolve
-    # 'same' places a k-tap kernel (for even k it extends one EARLIER):
-    # out[i] covers proj[i-(k-1)+m .. i+m], zero-padded at the edges
-    s = np.array(
-        [int(proj[max(0, i - (k - 1) + m) : i + m + 1].sum()) for i in range(w)]
+    s = np.stack(
+        [proj[:, max(0, i - (k - 1) + m) : i + m + 1].sum(axis=1) for i in range(w)],
+        axis=1,
     )
-    total = int(s.sum())
-    valley = (s * w) < (total * 0.3)
-    return _count_runs(valley, w)
+    valley = (s * w) < (s.sum(axis=1, keepdims=True) * 0.3)
+    return [_count_runs(valley[i], w) for i in range(B)]
 
 
 def _count_runs(valley, w: int) -> int:
@@ -276,23 +284,9 @@ def content_layout(spans: DataFrame) -> DataFrame:
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
                 G = synth_rasters_batch(list(part["media_ref"]))
-                ink = G < 128
-                B, hh, ww = G.shape
-                # vectorized projection/smoothing/valley matrix; the
-                # per-ref run loop runs on the tiny (w,) boolean rows
-                proj = ink.sum(axis=1)  # (B, w)
-                k = max(5, min(20, ww // 50))
-                m = (k - 1) // 2
-                s = np.stack(
-                    [
-                        proj[:, max(0, i - (k - 1) + m) : i + m + 1].sum(axis=1)
-                        for i in range(ww)
-                    ],
-                    axis=1,
-                )
-                valley = (s * ww) < (s.sum(axis=1, keepdims=True) * 0.3)
-                cols = [_count_runs(valley[i], ww) for i in range(B)]
-                dark = ink.sum(axis=(1, 2))
+                _B, hh, ww = G.shape
+                cols = detect_columns_batch(G)
+                dark = (G < 128).sum(axis=(1, 2))
                 out = part[["doc_id", "media_ref", "offset"]].copy()
                 out["column_count"] = cols
                 out["dark_ratio"] = np.floor(dark / (hh * ww) * 10000.0) / 10000.0
@@ -425,15 +419,6 @@ def media_quality(spans: DataFrame) -> DataFrame:
                 outs.append(out)
             if outs:
                 yield pd.concat(outs)
-            else:
-                yield pdf[["doc_id", "media_ref", "offset"]].assign(
-                    contrast_score=0.0,
-                    brightness_score=0.0,
-                    sharpness_score=0.0,
-                    noise_level=0.0,
-                    overall_score=0.0,
-                    issues_joined="",
-                )
 
     return media.mapInPandas(assess_batches, schema=QUALITY_SCHEMA)
 

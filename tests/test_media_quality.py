@@ -156,6 +156,7 @@ def test_batch_paths_match_per_image_reference():
     refs = [f"batch-ref-{i}" for i in range(300)]
     G = media.synth_rasters_batch(refs)
     batch = media.assess_quality_batch(G)
+    cols = media.detect_columns_batch(G)
     for i, ref in enumerate(refs):
         g = media.synth_raster(ref)
         assert np.array_equal(G[i], g)
@@ -164,6 +165,7 @@ def test_batch_paths_match_per_image_reference():
                   "noise_level", "overall_score"):
             assert batch[k][i] == single[k], (k, ref)
         assert batch["issues_joined"][i] == single["issues_joined"]
+        assert cols[i] == _reference_detect_columns(g), ref
 
 
 def test_media_quality_operator(spark):

@@ -502,11 +502,16 @@ def q_quarantine_accounting(spark, sf_dir):
 
 # ------------------------------------------- grid reconstruction family
 def _grid_assigned(spark, sf_dir):
+    # band_arrays derives BOTH band families from one pass (the composed
+    # index_bands x2 route re-scans the detections per family); with the
+    # linear assign/spanning operators the whole grid family reads the
+    # detections parquet 3x with disjoint pushed bucket filters — one
+    # logical pass over the input (pinned in tests/test_plans.py)
     d = tables.load_detections(spark, sf_dir)
     cells = d.filter(F.col("bucket") == "cell").select(
         "doc_id", "table_id", F.col("item_id").alias("cell_id"), "x", "y", "w", "h", "text"
     )
-    return grid.assign_cells(cells, grid.index_bands(d, "row"), grid.index_bands(d, "column")), d
+    return grid.assign_cells_banded(cells, grid.band_arrays(d)), d
 
 
 def _grid_final(spark, sf_dir):

@@ -38,6 +38,76 @@ def index_bands(detections: DataFrame, bucket: str) -> DataFrame:
     )
 
 
+def _nearest_idx(bands, center):
+    """Argmin-center-distance over a sorted band array: strictly-less
+    keeps the FIRST (lowest-idx) band on distance ties — the same total
+    order as the old window sort by (abs distance asc, idx asc)."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(None).cast("int").alias("idx")
+    )
+    return F.aggregate(
+        bands,
+        init,
+        lambda acc, b: F.when(
+            F.abs(center - b["c"]) < acc["d"],
+            F.struct(F.abs(center - b["c"]).alias("d"), b["idx"].alias("idx")),
+        ).otherwise(acc),
+    )["idx"]
+
+
+def _band_agg(center):
+    """Per-table sorted array<struct<idx,c>> of band centers."""
+    return F.array_sort(
+        F.collect_list(F.struct(F.col("idx").alias("idx"), center.alias("c")))
+    )
+
+
+def band_arrays(detections: DataFrame) -> DataFrame:
+    """ONE-scan band indexing for the query path: row- and column-band
+    arrays per table from a single pass over the detections (the
+    composed index_bands x2 route scans the source twice). The combined
+    window reproduces index_bands exactly per bucket: row_number over
+    (table, bucket) ordered by (y|x, x, y), 0-based."""
+    bands = detections.filter(F.col("bucket").isin("row", "column"))
+    order_key = F.when(F.col("bucket") == "row", F.col("y")).otherwise(F.col("x"))
+    w = Window.partitionBy(*KEY, "bucket").orderBy(order_key.asc(), "x", "y")
+    center = F.when(
+        F.col("bucket") == "row", F.col("y") + F.col("h") / 2
+    ).otherwise(F.col("x") + F.col("w") / 2)
+    tagged = bands.select(
+        *KEY,
+        "bucket",
+        (F.row_number().over(w) - 1).alias("idx"),
+        center.alias("c"),
+    )
+    row_struct = F.when(
+        F.col("bucket") == "row", F.struct(F.col("idx").alias("idx"), F.col("c").alias("c"))
+    )
+    col_struct = F.when(
+        F.col("bucket") == "column", F.struct(F.col("idx").alias("idx"), F.col("c").alias("c"))
+    )
+    return tagged.groupBy(*KEY).agg(
+        F.array_sort(F.collect_list(row_struct)).alias("row_bands"),
+        F.array_sort(F.collect_list(col_struct)).alias("col_bands"),
+    )
+
+
+def assign_cells_banded(cells: DataFrame, bands: DataFrame) -> DataFrame:
+    """J3 over pre-aggregated band arrays (band_arrays output): one join
+    per cell instead of a cells x bands fan-out + two joins back — the
+    cells input is referenced exactly once, so composed plans stop
+    re-expanding its subtree."""
+    out = (
+        cells.join(bands, KEY)
+        .withColumn("row", _nearest_idx(F.col("row_bands"), F.col("y") + F.col("h") / 2))
+        .withColumn("col", _nearest_idx(F.col("col_bands"), F.col("x") + F.col("w") / 2))
+        .drop("row_bands", "col_bands")
+    )
+    # a table lacking either band family never assigns (the old inner
+    # joins on both band sides dropped its cells) — keep that contract
+    return out.filter(F.col("row").isNotNull() & F.col("col").isNotNull())
+
+
 def assign_cells(cells: DataFrame, rows: DataFrame, cols: DataFrame) -> DataFrame:
     """J3: assign each detected cell box to the argmin-center-distance
     row band and column band (table_transformer.py:893-902).
@@ -45,33 +115,13 @@ def assign_cells(cells: DataFrame, rows: DataFrame, cols: DataFrame) -> DataFram
     cells: (doc_id, table_id, cell_id, x, y, w, h, text)
     rows/cols: output of index_bands. Returns cells + (row, col).
     """
-    cy = F.col("y") + F.col("h") / 2
-    cx = F.col("x") + F.col("w") / 2
-    c = cells.withColumn("_cx", cx).withColumn("_cy", cy)
-
-    def nearest(bands: DataFrame, center, out: str) -> DataFrame:
-        b = bands.select(
-            *KEY,
-            F.col("idx").alias(f"_{out}_idx"),
-            ((F.col("y") + F.col("h") / 2) if out == "row" else (F.col("x") + F.col("w") / 2)).alias(
-                f"_{out}_c"
-            ),
-        )
-        joined = c.join(b, KEY)
-        wname = Window.partitionBy(*KEY, "cell_id").orderBy(
-            F.abs(center - F.col(f"_{out}_c")).asc(), F.col(f"_{out}_idx").asc()
-        )
-        return (
-            joined.withColumn("_rk", F.row_number().over(wname))
-            .filter(F.col("_rk") == 1)
-            .select(*KEY, "cell_id", F.col(f"_{out}_idx").alias(out))
-        )
-
-    r = nearest(rows, F.col("_cy"), "row")
-    k = nearest(cols, F.col("_cx"), "col")
-    return (
-        cells.join(r, [*KEY, "cell_id"]).join(k, [*KEY, "cell_id"])
+    rb = rows.groupBy(*KEY).agg(
+        _band_agg(F.col("y") + F.col("h") / 2).alias("row_bands")
     )
+    cb = cols.groupBy(*KEY).agg(
+        _band_agg(F.col("x") + F.col("w") / 2).alias("col_bands")
+    )
+    return assign_cells_banded(cells, rb.join(cb, KEY))
 
 
 def apply_spanning_cells(grid_cells: DataFrame, span_boxes: DataFrame) -> DataFrame:
@@ -89,7 +139,7 @@ def apply_spanning_cells(grid_cells: DataFrame, span_boxes: DataFrame) -> DataFr
         F.col("w").alias("gw"), F.col("h").alias("gh"),
     )
     s = span_boxes.select(
-        *KEY, "span_id",
+        F.col("doc_id").alias("_sd"), F.col("table_id").alias("_st"), "span_id",
         F.col("x").alias("sx"), F.col("y").alias("sy"),
         F.col("w").alias("sw"), F.col("h").alias("sh"),
     )
@@ -97,46 +147,45 @@ def apply_spanning_cells(grid_cells: DataFrame, span_boxes: DataFrame) -> DataFr
         F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
         F.col("sx"), F.col("sy"), F.col("sw"), F.col("sh"),
     )
-    covered = g.join(s, KEY).filter(overlap)
-    extent = covered.groupBy(*KEY, "span_id").agg(
-        F.min("row").alias("r0"),
-        F.max("row").alias("r1"),
-        F.min("col").alias("c0"),
-        F.max("col").alias("c1"),
+    # ONE left theta-join (equi on the table key + overlap residual),
+    # then pure window math: the former covered->extent groupBy join-back
+    # and the final join back onto grid_cells each re-expanded the whole
+    # grid_cells subtree, multiplying upstream scans in composed plans
+    j = g.join(
+        s,
+        (F.col("doc_id") == F.col("_sd")) & (F.col("table_id") == F.col("_st")) & overlap,
+        "left",
     )
-    # the merged survivor is the FIRST covered cell in reading order
-    # (min (row, col) among the cells actually covered) — anchoring on
-    # (r0 AND c0) would emit NO merged cell for L-shaped coverage where
-    # no cell sits at the extent corner, silently losing the span's text
-    # (reference table_transformer.py:303-310 promotes covered_cells[0])
+    # span extents + the merged survivor: the FIRST covered cell in
+    # reading order (min (row, col) among cells actually covered) —
+    # anchoring on the (r0, c0) extent corner would emit NO merged cell
+    # for L-shaped coverage (reference table_transformer.py:303-310
+    # promotes covered_cells[0]); unmatched cells share the null-span
+    # partition and are tagged 'normal' below
+    w_ext = Window.partitionBy(*KEY, "span_id")
     w_span = Window.partitionBy(*KEY, "span_id").orderBy("row", "col")
     tagged = (
-        covered.withColumn("_first", F.row_number().over(w_span))
-        .join(extent, [*KEY, "span_id"])
-        .select(
-            *KEY, "span_id", "row", "col",
-            F.when(F.col("_first") == 1, "merged").otherwise("empty").alias("cell_type"),
-            (F.col("r1") - F.col("r0") + 1).alias("rowspan"),
-            (F.col("c1") - F.col("c0") + 1).alias("colspan"),
-        )
+        j.withColumn("r0", F.min("row").over(w_ext))
+        .withColumn("r1", F.max("row").over(w_ext))
+        .withColumn("c0", F.min("col").over(w_ext))
+        .withColumn("c1", F.max("col").over(w_ext))
+        .withColumn("_first", F.row_number().over(w_span))
     )
     # one tag per cell even when several spans cover it: the span with
     # the smallest id wins (deterministic stand-in for the reference's
-    # sequential mutation) — without this the left join fans out and
-    # downstream maps hit DUPLICATED_MAP_KEY
+    # sequential mutation); a cell matches either >=1 spans or exactly
+    # one null-span row, so the winner window never mixes the two
     w_cell = Window.partitionBy(*KEY, "row", "col").orderBy("span_id")
-    tagged = (
+    merged = F.col("span_id").isNotNull() & (F.col("_first") == 1)
+    empty = F.col("span_id").isNotNull() & (F.col("_first") != 1)
+    return (
         tagged.withColumn("_rk", F.row_number().over(w_cell))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "span_id")
-    )
-    return (
-        grid_cells.join(tagged, [*KEY, "row", "col"], "left")
         .select(
             *KEY, "row", "col", "text",
-            F.coalesce("cell_type", F.lit("normal")).alias("cell_type"),
-            F.when(F.col("cell_type") == "merged", F.col("rowspan")).otherwise(1).alias("rowspan"),
-            F.when(F.col("cell_type") == "merged", F.col("colspan")).otherwise(1).alias("colspan"),
+            F.when(merged, "merged").when(empty, "empty").otherwise("normal").alias("cell_type"),
+            F.when(merged, F.col("r1") - F.col("r0") + 1).otherwise(1).alias("rowspan"),
+            F.when(merged, F.col("c1") - F.col("c0") + 1).otherwise(1).alias("colspan"),
         )
     )
 

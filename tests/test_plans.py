@@ -60,6 +60,22 @@ def test_media_features_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
 
 
+def test_grid_family_single_logical_pass(spark):
+    """The grid family must read the detections parquet at most 3x, with
+    DISJOINT pushed bucket filters (cell | row+column | spanning_cell) —
+    one logical pass over the input. The pre-round-5 composition
+    re-expanded the detections subtree 17x in q_grid_row_maps."""
+    for q, max_scans in [
+        (entry.q_grid_row_maps, 3),
+        (entry.q_grid_spanning_cells, 3),
+        (entry.q_grid_assign_cells, 2),
+    ]:
+        plan = plan_of(q(spark, SF))
+        n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n <= max_scans, f"{q.__name__}: {n} scans > {max_scans}"
+        assert "EqualTo(bucket,cell)" in plan, "cell filter must push to the scan"
+
+
 def test_shingle_stage_materializes_words_once(spark):
     """The shingle transform must read a MATERIALIZED words array, not
     re-inline the split+filter tokenization into every slice() — the

@@ -71,6 +71,26 @@ def _all_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.all_triples_fused(_docs(spark, sf_dir))
 
 
+# downstream graph queries consume the extraction as a materialized
+# stage, not a plan to re-expand: edges alone re-ran the fused
+# extraction 3x (surface dim x2 + fact stream). One lazy localCheckpoint
+# per (session, sf_dir) runs extraction once and every graph query reads
+# the stage (the durable production analog is the CheckpointStore
+# parquet stage in plans/pipeline.py; localCheckpoint is the in-session
+# query-path equivalent). Values are identical — the stage IS the fused
+# plan's output — so all oracle comparisons are unaffected.
+_STAGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _triples_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _STAGE_CACHE.get(key)
+    if df is None:
+        df = _all_triples(spark, sf_dir).localCheckpoint(eager=False)
+        _STAGE_CACHE[key] = df
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full triple extraction over the interleaved corpus."""
     return _all_triples(spark, "/root/testdata/sf0.001")
@@ -118,6 +138,9 @@ def q_triples_text(spark, sf_dir):
 
 
 def q_triples_all(spark, sf_dir):
+    # the flagship stays the RAW fused plan (1 parquet scan, pinned in
+    # test_plans.py) — it IS the extraction measurement; downstream
+    # graph queries read the checkpointed stage instead
     return _all_triples(spark, sf_dir)
 
 
@@ -132,32 +155,32 @@ CAP_ENTITIES_DEMO = 5
 
 def q_triples_capped(spark, sf_dir):
     return triples.cap_triples_per_doc(
-        _all_triples(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
+        _triples_stage(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
     )
 
 
 def q_triples_cap_accounting(spark, sf_dir):
     return triples.cap_accounting(
-        _all_triples(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
+        _triples_stage(spark, sf_dir), max_per_doc=CAP_TRIPLES_DEMO
     )
 
 
 def q_entities_capped(spark, sf_dir):
     return triples.entities_per_doc_capped(
-        _all_triples(spark, sf_dir), max_entities=CAP_ENTITIES_DEMO
+        _triples_stage(spark, sf_dir), max_entities=CAP_ENTITIES_DEMO
     )
 
 
 def q_entities_distinct(spark, sf_dir):
-    return graph.entities_distinct(_all_triples(spark, sf_dir))
+    return graph.entities_distinct(_triples_stage(spark, sf_dir))
 
 
 def q_entity_type_histogram(spark, sf_dir):
-    return graph.entity_type_histogram(_all_triples(spark, sf_dir))
+    return graph.entity_type_histogram(_triples_stage(spark, sf_dir))
 
 
 def q_nodes(spark, sf_dir):
-    return graph.nodes(_all_triples(spark, sf_dir)).select(
+    return graph.nodes(_triples_stage(spark, sf_dir)).select(
         "entity_id",
         "name",
         "canonical_form",
@@ -173,7 +196,7 @@ def q_nodes(spark, sf_dir):
 
 
 def q_edges(spark, sf_dir):
-    return graph.edges(_all_triples(spark, sf_dir)).select(
+    return graph.edges(_triples_stage(spark, sf_dir)).select(
         "edge_id",
         "subject_id",
         "predicate",
@@ -188,12 +211,12 @@ def q_edges(spark, sf_dir):
 
 
 def q_graph_integrity(spark, sf_dir):
-    t = _all_triples(spark, sf_dir)
+    t = _triples_stage(spark, sf_dir)
     return graph.integrity_violations(graph.nodes(t), graph.edges(t))
 
 
 def q_ontology_classes(spark, sf_dir):
-    out = graph.ontology_classes(spark, graph.nodes(_all_triples(spark, sf_dir)))
+    out = graph.ontology_classes(spark, graph.nodes(_triples_stage(spark, sf_dir)))
     return out.select(
         "class_id",
         "name",
@@ -205,7 +228,7 @@ def q_ontology_classes(spark, sf_dir):
 
 
 def q_auto_create_entities(spark, sf_dir):
-    t = _all_triples(spark, sf_dir)
+    t = _triples_stage(spark, sf_dir)
     base = graph.entities_distinct(triples.table_triples(_entries(spark, sf_dir))).withColumn(
         "confidence", F.lit(0.6)
     )
@@ -219,7 +242,7 @@ def q_auto_create_entities(spark, sf_dir):
 
 # ------------------------------------------------- linking / canonicalize
 def q_canonical_nodes_lsh(spark, sf_dir):
-    out = linking.canonicalize(_all_triples(spark, sf_dir))
+    out = linking.canonicalize(_triples_stage(spark, sf_dir))
     return out["nodes"].select(
         "canonical_id",
         "canonical_form",
@@ -231,7 +254,7 @@ def q_canonical_nodes_lsh(spark, sf_dir):
 
 
 def q_canonical_edges_lsh(spark, sf_dir):
-    return linking.canonicalize(_all_triples(spark, sf_dir))["edges"]
+    return linking.canonicalize(_triples_stage(spark, sf_dir))["edges"]
 
 
 # ------------------------------------------------------ dedup family

@@ -60,6 +60,19 @@ def test_media_features_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
 
 
+def test_graph_queries_read_checkpointed_stage(spark):
+    """nodes/edges must consume the extraction as a materialized stage
+    (lazy localCheckpoint), not re-expand the fused plan — edges alone
+    re-ran extraction 3x (surface dim x2 + fact stream) before round 5.
+    Zero parquet scans: the only input is the checkpointed stage."""
+    for q in [entry.q_edges, entry.q_nodes, entry.q_entities_distinct]:
+        plan = plan_of(q(spark, SF))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, (
+            f"{q.__name__} must read the triples stage, not re-scan the corpus"
+        )
+        assert "ExistingRDD" in plan
+
+
 def test_grid_family_single_logical_pass(spark):
     """The grid family must read the detections parquet at most 3x, with
     DISJOINT pushed bucket filters (cell | row+column | spanning_cell) —

@@ -707,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
         _n_emb = tables.table_rows(f"/root/testdata/{tag}", "embeddings")
         _ivf_c = similarity.centroids_for_corpus(_n_emb)
         _ivf_p = similarity.nprobe_for_centroids(_ivf_c)
-    except (FileNotFoundError, IndexError, OSError):
+    except (FileNotFoundError, IndexError, OSError, ValueError):
         _ivf_c, _ivf_p = 16, 2
     W = "WITH " + o.spans_cte(tag)
     WC = W + "," + o.cells_cte()

@@ -45,6 +45,13 @@ def planes_for_corpus(
     return min(cap, max(floor, math.ceil(math.log2(n / target_bucket))))
 
 
+# the scan-width probe converts the plan to an RDD (a nontrivial
+# driver-side cost on hot plan-build paths), so its result is memoized
+# per (session, semantic plan) — repeat builds of the same signature
+# stage (bench reps, oracle loop) pay it once
+_SPREAD_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     """Hash-spread a table whose scan under-uses the session's cores: a
     small parquet table is often ONE split, which serializes the
@@ -55,7 +62,12 @@ def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     e.g. NOT for the raw shingle explode, where shuffling the text
     costs more than the single-core stage (measured at sf0.1)."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
+    cache_key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    n_scan = _SPREAD_CACHE.get(cache_key)
+    if n_scan is None:
+        n_scan = df.rdd.getNumPartitions()
+        _SPREAD_CACHE[cache_key] = n_scan
+    if n_scan < n_part:
         return df.repartition(n_part, key)
     return df
 

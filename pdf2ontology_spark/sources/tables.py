@@ -33,21 +33,30 @@ def storage_format() -> str:
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
-# parquet schema inference submits a one-task Spark job per read; the
-# driver test tables are immutable, so infer once per path and pass the
-# schema explicitly afterwards — repeat plan builds (bench reps, the
-# oracle loop) become fully job-free. Keyed per path; values are plain
-# StructTypes, valid across sessions.
-_SCHEMA_CACHE: dict[str, object] = {}
+# parquet schema inference submits a one-task Spark job per read, so
+# infer once and pass the schema explicitly afterwards — repeat plan
+# builds (bench reps, the oracle loop) become fully job-free. The cache
+# key includes the data files' (size, mtime) fingerprint: regenerating a
+# table at the same path within one driver process invalidates the entry
+# instead of silently reading with a stale schema (nulls for renamed
+# columns). Values are plain StructTypes, valid across sessions.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _table_fingerprint(path: str) -> tuple:
+    return tuple(
+        (f, os.path.getsize(f), os.stat(f).st_mtime_ns) for f in _data_files(path)
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided testdata table (TESTDATA.md)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
+    key = (path, _table_fingerprint(path))
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -82,11 +91,29 @@ def tune_split_bytes(spark: SparkSession, path: str) -> int:
     target = max(
         _SPLIT_FLOOR, min(_SPLIT_CAP, _scan_bytes(path) // max(1, cores * _SPLIT_WAVES))
     )
-    current = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "0"))
+    current = _parse_byte_conf(spark.conf.get("spark.sql.files.maxPartitionBytes", "0"))
     target = max(target, current)
     if target != current:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     return target
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Spark byte confs come back with a unit suffix when the session
+    did not set them as a bare number (the default prints as
+    '134217728b'); mirror JavaUtils.byteStringAsBytes for the suffixes
+    Spark emits instead of letting int() raise."""
+    v = value.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1024**5), ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2),
+        ("kb", 1024), ("p", 1024**5), ("t", 1024**4), ("g", 1024**3),
+        ("m", 1024**2), ("k", 1024), ("b", 1),
+    ):
+        if v.endswith(suffix):
+            v, mult = v[: -len(suffix)], m
+            break
+    return int(v) * mult
 
 
 def _data_files(path: str) -> list[str]:
@@ -126,7 +153,10 @@ def embedding_dim(sf_dir: str, name: str = "embeddings", col: str = "embedding")
     import pyarrow.parquet as pq
 
     path = _data_files(os.path.join(sf_dir, f"{name}.parquet"))[0]
-    batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
+    try:
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
+    except StopIteration:
+        raise ValueError(f"embeddings table at {path} is empty") from None
     return len(batch.column(0)[0])
 
 

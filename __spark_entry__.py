@@ -448,6 +448,8 @@ def q_assess_media(spark, sf_dir):
 
 
 def q_assess_media_real(spark, sf_dir):
+    # skew_deg / rotation_deg are PIXEL-DERIVED since round 5
+    # (orientation.py: Hough lines + ink moments over the raster)
     return condition.assess_media_real(_spans(spark, sf_dir)).select(
         "doc_id",
         "offset",
@@ -458,9 +460,31 @@ def q_assess_media_real(spark, sf_dir):
         "noise_level",
         "quality",
         "skew_deg",
+        "skew_conf",
         "rotation_deg",
+        "rotation_conf",
+        "line_count",
         F.col("needs_processing").cast("int").alias("needs_processing"),
         F.array_join("actions", "|").alias("actions_joined"),
+    )
+
+
+def q_skew_rotation(spark, sf_dir):
+    # the RotationDetector/SkewDetector port exposed directly: per-media
+    # text/edge orientations, the banded rotation decision + confidence,
+    # Hough-line skew + confidence + line count — every column
+    # recomputed independently by the DuckDB twin (skew_rotation_sql)
+    return media.assess_media_full(_spans(spark, sf_dir)).select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "text_orientation",
+        "edge_orientation",
+        "rotation_deg",
+        "rotation_conf",
+        "skew_deg",
+        "skew_conf",
+        "line_count",
     )
 
 
@@ -629,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_quality": q_media_quality,
         "content_layout": q_content_layout,
         "assess_media_real": q_assess_media_real,
+        "skew_rotation": q_skew_rotation,
         "assess_media": q_assess_media,
         "preprocessed_media": q_preprocessed_media,
         "condition_rollup": q_condition_rollup,
@@ -955,6 +980,7 @@ SELECT 'detections_guard', 'quarantined', CAST(count(*) FILTER (bad = 1) AS BIGI
         "classify_documents": oracles_data.classify_sql(tag),
         "assess_media": oracles_data.assess_media_sql(tag),
         "assess_media_real": oracles_data.assess_media_real_sql(tag),
+        "skew_rotation": oracles_data.skew_rotation_sql(tag),
         "preprocessed_media": oracles_data.preprocessed_media_sql(tag),
         "condition_rollup": oracles_data.condition_rollup_sql(tag),
         "pricing_summary": """

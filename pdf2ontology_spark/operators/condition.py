@@ -101,28 +101,30 @@ def assess_media(spans: DataFrame) -> DataFrame:
 
 
 def assess_media_real(spans: DataFrame) -> DataFrame:
-    """``assess_media`` with the REAL quality-metric family: consumes
-    ``media.media_quality``'s numpy-computed scores (the reference
-    QualityAssessor kernels — Laplacian variance, 5x5 median filter —
-    over the synthetic raster) instead of the hash-stub metric columns.
-    Thresholds, the 0.3/0.2/0.3/0.2 composite (already inside
-    ``overall_score``), the skip predicate, and the priority-ordered
-    plan are identical to ``assess_media``. skew/rotation remain
-    sha-derived stubs: real Hough-line skew and orientation detection
-    need cv2 (document_analysis_utils.py:103-412), which this sandbox
-    lacks — that is the LAST stubbed metric family.
+    """``assess_media`` with EVERY metric family real: quality scores
+    from the QualityAssessor kernels (Laplacian variance, 5x5 median
+    filter) AND — since round 5 — pixel-derived skew/rotation from the
+    SkewDetector/RotationDetector port (operators/orientation.py: ink
+    mask -> morphological-gradient edges -> Hough accumulation -> angle
+    statistics; document_analysis_utils.py:103-412). All metrics come
+    from ONE Arrow stage over one raster decode
+    (``media.assess_media_full``); only the byte->pixel decode itself
+    remains the labeled synthetic-raster stub. Thresholds, the
+    0.3/0.2/0.3/0.2 composite (inside ``overall_score``), the skip
+    predicate, and the priority-ordered plan are identical to
+    ``assess_media``; skew_deg is now a double (the reference's
+    SkewAnalysisResult.skew_angle is a float).
 
     Output: (doc_id, offset, media_ref, contrast_score,
     brightness_score, sharpness_score, noise_level, quality, skew_deg,
-    rotation_deg, needs_processing, actions)."""
+    skew_conf, rotation_deg, rotation_conf, line_count,
+    needs_processing, actions)."""
     from pdf2ontology_spark.operators import media
 
-    h = F.sha2(F.col("media_ref"), 256)
     df = (
-        media.media_quality(spans)
-        .withColumn("skew_deg", (_hexval(h, 17, 4) % 21 - 10).cast("int"))
-        .withColumn("rotation_deg", ((_hexval(h, 21, 2) % 4) * 90).cast("int"))
+        media.assess_media_full(spans)
         .withColumnRenamed("overall_score", "quality")
+        .drop("text_orientation", "edge_orientation")
     )
     raw_actions = F.concat(
         F.when(F.col("rotation_deg") != 0, F.array(F.lit("rotate"))).otherwise(F.array()),

@@ -423,6 +423,45 @@ def media_quality(spans: DataFrame) -> DataFrame:
     return media.mapInPandas(assess_batches, schema=QUALITY_SCHEMA)
 
 
+CONDITION_SCHEMA = (
+    QUALITY_SCHEMA + ", text_orientation double, edge_orientation double, "
+    "rotation_deg int, rotation_conf double, skew_deg double, "
+    "skew_conf double, line_count int"
+)
+
+
+def assess_media_full(spans: DataFrame) -> DataFrame:
+    """media spans -> quality metrics (QualityAssessor kernels) PLUS
+    rotation/skew analysis (RotationDetector + SkewDetector pipelines,
+    operators/orientation.py) in ONE Arrow stage: the raster decodes
+    once and both metric families read the same stack — the plan a real
+    CV pass wants (1 scan, 1 Python stage, no join of two decode
+    stages). Same salting and chunking as ``media_quality``."""
+    from pdf2ontology_spark.operators import orientation
+
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+    def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 256
+        for pdf in batches:
+            outs = []
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                G = synth_rasters_batch(list(part["media_ref"]))
+                out = part[["doc_id", "media_ref", "offset"]].copy()
+                for k, v in assess_quality_batch(G).items():
+                    out[k] = v
+                for k, v in orientation.orientation_batch(G).items():
+                    out[k] = v
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs)
+
+    return media.mapInPandas(assess_batches, schema=CONDITION_SCHEMA)
+
+
 PREPROCESSED_SCHEMA = (
     "doc_id string, offset int, media_ref string, processed_ref string, "
     "applied_joined string, n_applied int, rotation_deg_after int, "

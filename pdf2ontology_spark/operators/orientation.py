@@ -1,0 +1,237 @@
+"""RotationDetector + SkewDetector pixel math — REAL, not a stub.
+
+The reference's two remaining CV analyzer families
+(/root/reference/src/utils/document_analysis_utils.py:103-304 RotationDetector,
+:311-412 SkewDetector) ported to pure numpy over the deterministic
+synthetic raster (media.synth_raster — the byte fetch/decode stays the
+labeled stub; everything from pixels onward is real):
+
+- shared edge stage: adaptive-mean binarization (25*g < S25 - 25*C, the
+  exact-integer form of cv2.adaptiveThreshold's mean-C — the reference's
+  Gaussian-weighted 11x11/15x15 windows are scaled to a 5x5 box for the
+  16x16 raster) + a 3x3-cross morphological gradient standing in for
+  Canny (NMS + hysteresis need image-serial propagation that neither a
+  SQL twin nor a closed-form check can reproduce; the structure
+  threshold -> edges -> Hough -> angle statistics is the reference's).
+- Hough accumulation (cv2.HoughLines semantics): rho = x*cos + y*sin
+  per theta, 1-px rho bins, vote threshold per (theta, rho). Theta step
+  is 3 deg — atan(1/16) ~ 3.6 deg is the 16-px raster's intrinsic
+  angular resolution; the reference's 1 deg step on >=1000-px inputs
+  scales the same way. cos/sin are CPython-math literals shared with
+  the DuckDB twin, so both engines bin identical doubles.
+- SkewDetector (:386-412): line angles theta-90 with |angle|<45, skew =
+  median, confidence = clamp(1 - std/10) (+0.1 if |skew|>1), line count.
+- RotationDetector: text orientation from the ink mask's central
+  second moments (0.5*atan2(2*mu11, mu20-mu02) — the standard
+  moments-orientation formula; per-contour minAreaRect needs
+  cv2.findContours and stays behind the decode seam), edge orientation
+  from the |rho|-weighted 36-bin angle histogram argmax (:204-243),
+  combined 0.7*text + 0.3*edge through the reference's exact rotation
+  bands and confidence adjustments (:251-304).
+
+All aggregations flow through exact integer sums; the only float
+functions are sqrt (correctly-rounded IEEE) and math.atan2 (bit-equal
+to DuckDB's libm atan2, verified on-host) — so the independent DuckDB
+twin (oracles_data.skew_rotation_sql) reproduces every output
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+GRID_H = 16
+GRID_W = 16
+ADAPT_C = 2  # adaptive-threshold offset (reference uses C=2 at :155)
+THETA_STEP = 3
+THETA_DEG = list(range(0, 180, THETA_STEP))
+COS = [math.cos(math.radians(k)) for k in THETA_DEG]
+SIN = [math.sin(math.radians(k)) for k in THETA_DEG]
+_COS_ARR = np.array(COS)
+_SIN_ARR = np.array(SIN)
+# vote thresholds scaled to the raster: reference skew threshold 100 /
+# rotation max(50, min(shape)//4) on >=1000-px images; a 16-px raster
+# line holds at most 16 votes
+T_SKEW = 6
+T_ROT = max(4, min(GRID_H, GRID_W) // 4)
+RHO_OFF = 16  # rho bins span [-15, 22] for a 16x16 grid
+RHO_BINS = 40
+DEG_FAC = 90.0 / math.pi  # 0.5 * degrees-per-radian, shared with the twin
+
+
+def ink_and_edges(G):
+    """(B,h,w) int raster -> (ink, edge) boolean stacks.
+
+    ink: 25*g < S25 - 25*C with BORDER_REPLICATE (the integer form of
+    mean5x5(g) - C > g, THRESH_BINARY_INV; the 1/25 cancels so both
+    engines compare exact integers). edge: 3x3-cross morphological
+    gradient of ink (dilate != erode), replicate border."""
+    B, h, w = G.shape
+    pe = np.pad(G, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    S25 = np.zeros_like(G)
+    for dy in range(5):
+        for dx in range(5):
+            S25 = S25 + pe[:, dy : dy + h, dx : dx + w]
+    ink = (25 * G) < (S25 - 25 * ADAPT_C)
+    pi_ = np.pad(ink, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    up = pi_[:, :-2, 1:-1]
+    dn = pi_[:, 2:, 1:-1]
+    lf = pi_[:, 1:-1, :-2]
+    rt = pi_[:, 1:-1, 2:]
+    dil = ink | up | dn | lf | rt
+    ero = ink & up & dn & lf & rt
+    return ink, dil & ~ero
+
+
+def hough_votes(edge):
+    """(B,h,w) edge stack -> (B, n_theta, RHO_BINS) vote counts.
+
+    rho = x*cos(theta) + y*sin(theta) (cv2 point convention x=col,
+    y=row), binned with floor(rho + 0.5) — the shift-floor round that
+    is bit-identical across engines (round() half-rules differ)."""
+    B = edge.shape[0]
+    b_idx, yy, xx = np.nonzero(edge)
+    nt = len(THETA_DEG)
+    votes = np.zeros((B, nt, RHO_BINS), dtype=np.int64)
+    if len(b_idx) == 0:
+        return votes
+    rho = xx[:, None] * _COS_ARR[None, :] + yy[:, None] * _SIN_ARR[None, :]
+    bins = np.floor(rho + 0.5).astype(np.int64) + RHO_OFF
+    keys = (b_idx[:, None] * nt + np.arange(nt)[None, :]) * RHO_BINS + bins
+    counts = np.bincount(keys.ravel(), minlength=B * nt * RHO_BINS)
+    return counts.reshape(B, nt, RHO_BINS)
+
+
+def _skew_from_votes(v) -> tuple[float, float, int]:
+    """SkewDetector._calculate_skew_angle over one image's vote grid:
+    qualifying lines are (theta, rho) cells with >= T_SKEW votes and
+    |theta - 90| < 45; the reference's np.median / np.std(population)
+    become exact integer sums + one fixed double sequence."""
+    nt = len(THETA_DEG)
+    lo = next(i for i, k in enumerate(THETA_DEG) if k - 90 > -45)
+    hi = max(i for i, k in enumerate(THETA_DEG) if k - 90 < 45)
+    angles: list[int] = []
+    for ti in range(lo, hi + 1):
+        n_lines = int((v[ti] >= T_SKEW).sum())
+        angles.extend([THETA_DEG[ti] - 90] * n_lines)
+    if not angles:
+        return 0.0, 0.0, 0
+    n = len(angles)
+    skew = float(np.median(np.array(angles, dtype=np.float64)))
+    s1 = sum(angles)
+    s2 = sum(a * a for a in angles)
+    std = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    conf = max(0.0, min(1.0, 1.0 - std / 10.0))
+    if abs(skew) > 1.0:
+        conf += 0.1
+    return skew, min(conf, 1.0), n
+
+
+def _edge_orientation_from_votes(v) -> float:
+    """RotationDetector._analyze_edge_orientation (:204-243): each
+    qualifying line votes int(10*|rho|/max(h,w)) times for its angle
+    (theta if <= 90 else theta-180); 36-bin histogram over [-90, 90],
+    argmax (first max), bin center."""
+    hist = [0] * 36
+    total = 0
+    for ti, k in enumerate(THETA_DEG):
+        angle = k if k <= 90 else k - 180
+        hb = min((angle + 90) // 5, 35)
+        for rb in np.nonzero(v[ti] >= T_ROT)[0]:
+            weight_votes = int(10 * abs(int(rb) - RHO_OFF)) // max(GRID_H, GRID_W)
+            hist[hb] += weight_votes
+            total += weight_votes
+    if total == 0:
+        return 0.0
+    best = max(range(36), key=lambda b: (hist[b], -b))
+    return -90.0 + 5.0 * best + 2.5
+
+
+def _text_orientation_from_ink(ink) -> float:
+    """Ink-mask orientation from central second moments —
+    0.5*atan2(2*mu11, mu20-mu02) in degrees, normalized to [-45, 45]
+    like the reference's minAreaRect angles (:186-192). Moment sums are
+    exact integers; atan2 is CPython libm (bit-equal to DuckDB's)."""
+    yy, xx = np.nonzero(ink)
+    n = len(xx)
+    if n == 0:
+        return 0.0
+    sx = int(xx.sum())
+    sy = int(yy.sum())
+    sxx = int((xx * xx).sum())
+    syy = int((yy * yy).sum())
+    sxy = int((xx * yy).sum())
+    mu20 = sxx - (sx * sx) / n
+    mu02 = syy - (sy * sy) / n
+    mu11 = sxy - (sx * sy) / n
+    ang = math.atan2(2.0 * mu11, mu20 - mu02) * DEG_FAC
+    if ang < -45.0:
+        ang += 90.0
+    elif ang > 45.0:
+        ang -= 90.0
+    return ang
+
+
+def _determine_rotation(text_o: float, edge_o: float) -> tuple[int, float]:
+    """RotationDetector._determine_rotation_angle (:251-304), exact
+    bands and confidence adjustments. The synthetic raster is square
+    (aspect_ratio = 1.0), so the reference's 0.7/1.4 aspect boost can
+    never fire; it is kept for fidelity."""
+    aspect_ratio = GRID_W / GRID_H
+    combined = text_o * 0.7 + edge_o * 0.3
+    if -15.0 <= combined <= 15.0:
+        rot, conf = 0, 0.9
+    elif 15.0 < combined <= 75.0:
+        rot, conf = 270, 0.85
+    elif 75.0 < combined <= 105.0:
+        rot, conf = 270, 0.9
+    elif -75.0 <= combined < -15.0:
+        rot, conf = 90, 0.85
+    elif -105.0 <= combined < -75.0:
+        rot, conf = 90, 0.9
+    else:
+        rot, conf = 180, 0.8
+    if (aspect_ratio < 0.7 or aspect_ratio > 1.4) and rot in (90, 270):
+        conf += 0.05
+    if abs(text_o - edge_o) < 15.0:
+        conf += 0.05
+    if abs(text_o - edge_o) > 45.0:
+        conf -= 0.1
+    return rot, max(0.0, min(conf, 1.0))
+
+
+def trunc4(x: float) -> float:
+    return math.floor(x * 10000.0) / 10000.0
+
+
+def orientation_batch(G) -> dict:
+    """Full rotation + skew analysis for a (B,h,w) raster stack.
+
+    Returns per-image lists: text_orientation, edge_orientation,
+    rotation_deg, rotation_conf, skew_deg, skew_conf, line_count."""
+    ink, edge = ink_and_edges(G)
+    votes = hough_votes(edge)
+    out = {
+        "text_orientation": [],
+        "edge_orientation": [],
+        "rotation_deg": [],
+        "rotation_conf": [],
+        "skew_deg": [],
+        "skew_conf": [],
+        "line_count": [],
+    }
+    for i in range(G.shape[0]):
+        text_o = _text_orientation_from_ink(ink[i])
+        edge_o = _edge_orientation_from_votes(votes[i])
+        rot, rconf = _determine_rotation(text_o, edge_o)
+        skew, sconf, n_lines = _skew_from_votes(votes[i])
+        out["text_orientation"].append(trunc4(text_o))
+        out["edge_orientation"].append(trunc4(edge_o))
+        out["rotation_deg"].append(rot)
+        out["rotation_conf"].append(trunc4(rconf))
+        out["skew_deg"].append(trunc4(skew))
+        out["skew_conf"].append(trunc4(sconf))
+        out["line_count"].append(n_lines)
+    return out

@@ -485,10 +485,11 @@ FROM flags"""
 
 def assess_media_real_sql(tag: str = "sf0.01") -> str:
     """Twin of condition.assess_media_real: the real pixel-kernel
-    quality scores (media_quality_sql) feeding the same thresholds,
-    skip predicate and priority-ordered action plan; skew/rotation stay
-    the sha-derived stubs."""
-    sha = "sha256(media_ref)"
+    quality scores (media_quality_sql) joined with the real
+    rotation/skew pipeline (skew_rotation_sql — Hough lines + ink
+    moments over the same closed-form raster), feeding the same
+    thresholds, skip predicate and priority-ordered action plan. Since
+    round 5 NO metric column is a hash stub."""
     plan = """concat_ws('|',
       CASE WHEN rotation_deg <> 0 THEN 'rotate' END,
       CASE WHEN abs(skew_deg) >= 2 THEN 'deskew' END,
@@ -498,19 +499,23 @@ def assess_media_real_sql(tag: str = "sf0.01") -> str:
       CASE WHEN sharpness_score < 0.3 THEN 'sharpen' END)"""
     return f"""
 WITH base AS ({media_quality_sql(tag)}),
+rot AS ({skew_rotation_sql(tag)}),
 flags AS (
-  SELECT doc_id, media_ref, "offset", contrast_score, brightness_score,
-    sharpness_score, noise_level, overall_score AS quality,
-    CAST({hexval(sha, 17, 4)} % 21 - 10 AS INTEGER) AS skew_deg,
-    CAST(({hexval(sha, 21, 2)} % 4) * 90 AS INTEGER) AS rotation_deg
-  FROM base),
+  SELECT b.doc_id, b.media_ref, b."offset", b.contrast_score,
+    b.brightness_score, b.sharpness_score, b.noise_level,
+    b.overall_score AS quality, r.skew_deg, r.skew_conf,
+    r.rotation_deg, r.rotation_conf, r.line_count
+  FROM base b JOIN rot r
+    ON r.doc_id = b.doc_id AND r.media_ref = b.media_ref
+   AND r."offset" = b."offset"),
 f2 AS (
   SELECT *, (quality <= 0.8 AND (rotation_deg <> 0 OR abs(skew_deg) >= 2
       OR contrast_score < 0.4 OR brightness_score < 0.3 OR noise_level > 0.6
       OR sharpness_score < 0.3)) AS needs_processing
   FROM flags)
 SELECT doc_id, "offset", media_ref, contrast_score, brightness_score,
-  sharpness_score, noise_level, quality, skew_deg, rotation_deg,
+  sharpness_score, noise_level, quality, skew_deg, skew_conf,
+  rotation_deg, rotation_conf, line_count,
   CAST(needs_processing AS INTEGER) AS needs_processing,
   CASE WHEN needs_processing THEN {plan} ELSE '' END AS actions_joined
 FROM f2"""
@@ -692,6 +697,158 @@ SELECT p.doc_id, p.media_ref, p.off AS "offset",
 FROM params p
 LEFT JOIN counts c USING (doc_id, media_ref, off)
 JOIN dark d USING (doc_id, media_ref, off)"""
+
+
+def skew_rotation_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
+    """Independent DuckDB twin of orientation.orientation_batch: the
+    RotationDetector/SkewDetector pipelines recomputed in SQL over the
+    closed-form raster — adaptive-mean ink mask (exact-integer
+    25*g < S25 - 50), 3x3-cross morphological gradient edges (neighbor
+    self-joins), full Hough accumulation (cos/sin embedded as the SAME
+    CPython-math literals the numpy kernel uses, shift-floor rho
+    binning), then the reference's skew median/std confidence, the
+    |rho|-weighted 36-bin rotation histogram, ink-moment text
+    orientation via atan2 (bit-equal to math.atan2, verified on-host),
+    and the exact rotation bands of _determine_rotation_angle."""
+    from pdf2ontology_spark.operators import orientation as ori
+
+    h = ori.GRID_H if h is None else h
+    w = ori.GRID_W if w is None else w
+
+    def v(xe: str, ye: str) -> str:
+        return f"(lo + (a*({xe}) + b*({ye}) + c*({xe})*({ye}) + d) % (rng + 1))"
+
+    s25 = " + ".join(
+        v(
+            f"greatest(0, least({w - 1}, x + {dx}))",
+            f"greatest(0, least({h - 1}, y + {dy}))",
+        )
+        for dy in range(-2, 3)
+        for dx in range(-2, 3)
+    )
+    theta_rows = ", ".join(
+        f"({k}, {c!r}, {s!r})" for k, c, s in zip(ori.THETA_DEG, ori.COS, ori.SIN)
+    )
+    e_expr = hexval("hh", 9, 2)
+    mx = max(h, w)
+    return f"""
+WITH {oracles.spans_cte(tag).lstrip()},
+params AS MATERIALIZED (
+  -- dense integer image id: every heavy intermediate (3.5M pixel rows,
+  -- 135M hough rows) groups/joins on one int instead of the
+  -- (doc_id, media_ref, offset) string triple — ~4x on the hot agg
+  SELECT row_number() OVER (ORDER BY doc_id, media_ref, off) AS img,
+    doc_id, media_ref, off,
+    {hexval("hh", 1, 2)} % 8 AS a, {hexval("hh", 3, 2)} % 8 AS b,
+    {hexval("hh", 5, 2)} % 3 AS c, {hexval("hh", 7, 2)} AS d,
+    16 + {e_expr} % 180 AS rng,
+    {hexval("hh", 11, 2)} % (256 - (16 + {e_expr} % 180)) AS lo
+  FROM (SELECT doc_id, media_ref, off, sha256(media_ref) AS hh
+        FROM spans WHERE kind = 'media')),
+ink AS MATERIALIZED (
+  SELECT img, y, x,
+    (25 * {v('x', 'y')} < ({s25}) - {25 * ori.ADAPT_C}) AS bb
+  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)),
+edge AS MATERIALIZED (
+  SELECT i.img, i.y, i.x
+  FROM ink i
+  JOIN ink u ON u.img = i.img AND u.x = i.x AND u.y = greatest(0, i.y - 1)
+  JOIN ink dn ON dn.img = i.img AND dn.x = i.x AND dn.y = least({h - 1}, i.y + 1)
+  JOIN ink lf ON lf.img = i.img AND lf.y = i.y AND lf.x = greatest(0, i.x - 1)
+  JOIN ink rt ON rt.img = i.img AND rt.y = i.y AND rt.x = least({w - 1}, i.x + 1)
+  WHERE i.bb <> u.bb OR i.bb <> dn.bb OR i.bb <> lf.bb OR i.bb <> rt.bb),
+thetas(k, tc, ts) AS (VALUES {theta_rows}),
+votes AS MATERIALIZED (
+  SELECT img, t.k,
+    CAST(floor(e.x * t.tc + e.y * t.ts + 0.5) AS INTEGER) AS r,
+    count(*) AS nv
+  FROM edge e, thetas t
+  GROUP BY img, t.k, r),
+skew_angles AS (
+  SELECT img, k - 90 AS ang
+  FROM votes WHERE nv >= {ori.T_SKEW} AND k > 45 AND k < 135),
+skew AS (
+  SELECT img, median(CAST(ang AS DOUBLE)) AS skew_raw, count(*) AS n,
+    sum(ang) AS s1, sum(ang * ang) AS s2
+  FROM skew_angles GROUP BY img),
+skew2 AS (
+  SELECT img, skew_raw, n,
+    greatest(0.0, least(1.0,
+      1.0 - sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+            / 10.0)) AS conf0
+  FROM skew),
+rot_votes AS (
+  SELECT img,
+    least(((CASE WHEN k <= 90 THEN k ELSE k - 180 END) + 90) // 5, 35) AS hb,
+    sum((10 * abs(r)) // {mx}) AS wv
+  FROM votes WHERE nv >= {ori.T_ROT}
+  GROUP BY img, hb),
+rot_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY img
+                               ORDER BY wv DESC, hb ASC) AS rk
+  FROM rot_votes WHERE wv > 0),
+edge_o AS (
+  SELECT img, -90.0 + 5.0 * hb + 2.5 AS edge_orient
+  FROM rot_ranked WHERE rk = 1),
+textm AS (
+  SELECT img, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM ink WHERE bb GROUP BY img),
+text_o AS (
+  SELECT img,
+    atan2(2.0 * (sxy - CAST(sx*sy AS DOUBLE)/n),
+          (sxx - CAST(sx*sx AS DOUBLE)/n) - (syy - CAST(sy*sy AS DOUBLE)/n))
+      * {ori.DEG_FAC!r} AS raw_ang
+  FROM textm),
+text_o2 AS (
+  SELECT img,
+    CASE WHEN raw_ang < -45.0 THEN raw_ang + 90.0
+         WHEN raw_ang > 45.0 THEN raw_ang - 90.0
+         ELSE raw_ang END AS text_orient
+  FROM text_o),
+combined AS (
+  SELECT p.doc_id, p.media_ref, p.off,
+    coalesce(t.text_orient, 0.0) AS t_o,
+    coalesce(e.edge_orient, 0.0) AS e_o,
+    coalesce(s.skew_raw, 0.0) AS skew_raw,
+    coalesce(s.conf0, 0.0) AS sconf0,
+    coalesce(s.n, 0) AS line_count,
+    coalesce(t.text_orient, 0.0) * 0.7 + coalesce(e.edge_orient, 0.0) * 0.3 AS comb
+  FROM params p
+  LEFT JOIN text_o2 t USING (img)
+  LEFT JOIN edge_o e USING (img)
+  LEFT JOIN skew2 s USING (img)),
+decided AS (
+  SELECT *,
+    CASE WHEN comb BETWEEN -15.0 AND 15.0 THEN 0
+         WHEN comb > 15.0 AND comb <= 75.0 THEN 270
+         WHEN comb > 75.0 AND comb <= 105.0 THEN 270
+         WHEN comb >= -75.0 AND comb < -15.0 THEN 90
+         WHEN comb >= -105.0 AND comb < -75.0 THEN 90
+         ELSE 180 END AS rot,
+    CASE WHEN comb BETWEEN -15.0 AND 15.0 THEN 0.9
+         WHEN comb > 15.0 AND comb <= 75.0 THEN 0.85
+         WHEN comb > 75.0 AND comb <= 105.0 THEN 0.9
+         WHEN comb >= -75.0 AND comb < -15.0 THEN 0.85
+         WHEN comb >= -105.0 AND comb < -75.0 THEN 0.9
+         ELSE 0.8 END AS rconf0
+  FROM combined)
+SELECT doc_id, off AS "offset", media_ref,
+  floor(t_o * 10000.0) / 10000.0 AS text_orientation,
+  floor(e_o * 10000.0) / 10000.0 AS edge_orientation,
+  CAST(rot AS INTEGER) AS rotation_deg,
+  -- aspect_ratio is exactly 1.0 on the square raster, so the
+  -- reference's 0.7/1.4 aspect boost can never fire (kept in the
+  -- engine for fidelity, a no-op here)
+  floor(greatest(0.0, least(
+      rconf0 + (CASE WHEN abs(t_o - e_o) < 15.0 THEN 0.05 ELSE 0.0 END)
+             + (CASE WHEN abs(t_o - e_o) > 45.0 THEN -0.1 ELSE 0.0 END),
+      1.0)) * 10000.0) / 10000.0 AS rotation_conf,
+  floor(skew_raw * 10000.0) / 10000.0 AS skew_deg,
+  floor(least(sconf0 + (CASE WHEN abs(skew_raw) > 1.0 THEN 0.1 ELSE 0.0 END),
+              1.0) * 10000.0) / 10000.0 AS skew_conf,
+  CAST(line_count AS INTEGER) AS line_count
+FROM decided"""
 
 
 def media_stats_sql(tag: str = "sf0.01") -> str:

@@ -489,6 +489,9 @@ def q_skew_rotation(spark, sf_dir):
 
 
 def q_preprocessed_media(spark, sf_dir):
+    # out_checksum / mean_after are pixel-derived since round 5: the
+    # action chain transforms the actual raster (operators/imaging.py)
+    # and the DuckDB twin recomputes every stage on per-image lists
     out = media.apply_actions(condition.assess_media(_spans(spark, sf_dir)))
     return out.select(
         "doc_id",
@@ -500,6 +503,8 @@ def q_preprocessed_media(spark, sf_dir):
         "rotation_deg_after",
         "skew_deg_after",
         F.col("changed").cast("int").alias("changed"),
+        "out_checksum",
+        "mean_after",
     )
 
 

@@ -1,0 +1,143 @@
+"""Image-processing ACTION kernels — real raster transforms, not
+token-folding: the reference ImageProcessor's per-action operations
+(/root/reference/src/utils/image_utils.py:295-481) ported to numpy over
+the synthetic 16x16 raster, applied in the condition stage's priority
+order. Each kernel is the reference's math wherever it is
+numpy-expressible on this container; the substitutions are explicit:
+
+- rotate      : exact 90/180/270 coordinate remap (cv2.rotate,
+                image_utils.py:399-414)
+- deskew      : inverse-map nearest-neighbor rotation about the
+                (w//2, h//2) center with replicate border
+                (image_utils.py:361-397 — INTER_CUBIC's 16-tap spline
+                and the expanded canvas are presentation concerns; the
+                chain reuses the assessment's skew angle rather than
+                re-running Hough mid-chain)
+- enhance_contrast: global min-max contrast stretch (CLAHE's 8x8 tile
+                grid degenerates to 2x2-px tiles on a 16-px raster;
+                image_utils.py:330-341)
+- gamma_correction: the exact 256-entry LUT ((i/255)^(1/1.2))*255 with
+                uint8 truncation (image_utils.py:343-349)
+- denoise     : 5x5 median filter, replicate border (fastNlMeans needs
+                cv2; the median filter is the classical denoise and is
+                already the QualityAssessor's noise reference kernel)
+- sharpen     : the exact [[-1,-1,-1],[-1,9,-1],[-1,-1,-1]] kernel with
+                reflect-101 border, saturated, then the reference's
+                0.3/0.7 addWeighted blend (image_utils.py:351-356;
+                exact-tie rounding is shift-floor on both engines)
+
+Every data-dependent float function goes through CPython ``math``
+(libm) — verified bit-equal to DuckDB's on this host — so the
+independent SQL twin (oracles_data.preprocessed_media_sql) reproduces
+the full per-image action chain exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+GAMMA = 1.2
+INV_GAMMA = 1.0 / GAMMA
+RAD = math.pi / 180.0
+SHARP_ALPHA = 0.7  # addWeighted(image, 0.3, sharpened, 0.7)
+GAMMA_LUT = [int(math.pow(i / 255.0, INV_GAMMA) * 255) for i in range(256)]
+
+
+def rotate_exact(g, deg: int):
+    """cv2.rotate semantics: out[y,x] = in[h-1-x, y] (90 CW),
+    in[h-1-y, w-1-x] (180), in[x, w-1-y] (270 = 90 CCW)."""
+    h, w = g.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    if deg == 90:
+        return g[h - 1 - xx, yy]
+    if deg == 180:
+        return g[h - 1 - yy, w - 1 - xx]
+    if deg == 270:
+        return g[xx, w - 1 - yy]
+    return g
+
+
+def deskew_nn(g, skew_deg: float):
+    """Nearest-neighbor inverse-map rotation by ``skew_deg`` about
+    (w//2, h//2), replicate border: src = M^T (dst - c) + c with
+    M = [[cos, sin], [-sin, cos]] (the getRotationMatrix2D convention).
+    cos/sin via math.* so the SQL twin bins identical doubles."""
+    if skew_deg == 0.0:
+        return g
+    h, w = g.shape
+    al = math.cos(skew_deg * RAD)
+    be = math.sin(skew_deg * RAD)
+    cy, cx = h // 2, w // 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    sx = al * (xx - cx) - be * (yy - cy) + cx
+    sy = be * (xx - cx) + al * (yy - cy) + cy
+    rx = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, w - 1)
+    ry = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, h - 1)
+    return g[ry, rx]
+
+
+def contrast_stretch(g):
+    mn = int(g.min())
+    mx = int(g.max())
+    if mx == mn:
+        return g
+    return np.floor((g - mn) * 255.0 / (mx - mn) + 0.5).astype(np.int64)
+
+
+def gamma_correct(g):
+    lut = np.array(GAMMA_LUT, dtype=np.int64)
+    return lut[g]
+
+
+def denoise_median5(g):
+    p = np.pad(g, 2, mode="edge")
+    h, w = g.shape
+    stack = np.stack(
+        [p[dy : dy + h, dx : dx + w] for dy in range(5) for dx in range(5)]
+    )
+    return np.median(stack, axis=0).astype(np.int64)
+
+
+def sharpen(g):
+    p = np.pad(g, 1, mode="reflect")  # reflect-101, filter2D default
+    h, w = g.shape
+    conv = 9 * g - sum(
+        p[dy : dy + h, dx : dx + w]
+        for dy in range(3)
+        for dx in range(3)
+        if not (dy == 1 and dx == 1)
+    )
+    sharp = np.clip(conv, 0, 255)  # ddepth=-1 uint8 saturation (ints, exact)
+    blend = (1.0 - SHARP_ALPHA) * g + SHARP_ALPHA * sharp
+    return np.clip(np.floor(blend + 0.5).astype(np.int64), 0, 255)
+
+
+def apply_chain(g, actions, skew_deg: float, rotation_deg: int):
+    """Run one image's priority-ordered action plan. The plan arrives
+    already sorted (fn.priority_sorted_actions); unknown actions pass
+    through like the reference's _apply_single_action default."""
+    for a in actions:
+        if a == "rotate":
+            g = rotate_exact(g, rotation_deg)
+        elif a == "deskew":
+            g = deskew_nn(g, skew_deg)
+        elif a == "enhance_contrast":
+            g = contrast_stretch(g)
+        elif a == "gamma_correction":
+            g = gamma_correct(g)
+        elif a == "denoise":
+            g = denoise_median5(g)
+        elif a == "sharpen":
+            g = sharpen(g)
+    return g
+
+
+def raster_checksum(g) -> int:
+    """Exact integer position-weighted checksum: any pixel change at any
+    position changes it (up to integer-weight collisions) and the SQL
+    twin recomputes it as sum(v * (y*w + x + 1))."""
+    h, w = g.shape
+    idx = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+    return int((g * idx).sum())

@@ -465,17 +465,16 @@ def assess_media_full(spans: DataFrame) -> DataFrame:
 PREPROCESSED_SCHEMA = (
     "doc_id string, offset int, media_ref string, processed_ref string, "
     "applied_joined string, n_applied int, rotation_deg_after int, "
-    "skew_deg_after int, changed boolean"
+    "skew_deg_after int, changed boolean, out_checksum long, mean_after double"
 )
 
 
-def _apply_stub(media_ref: str, actions: list[str]) -> str:
-    """STUB action apply: real deployments run the cv2/PIL op per action
-    here (image_utils.py:328-481 dispatch). The stub folds each action
-    into a deterministic state token sha256(state ':' action), starting
-    from sha256(media_ref) (the 'bytes identity') — so a row with no
-    actions keeps the ORIGINAL token, i.e. passes through byte-identical,
-    and any applied action provably changes it."""
+def _apply_token(media_ref: str, actions: list[str]) -> str:
+    """Deterministic processed-bytes POINTER: sha256 state folded per
+    applied action, starting from sha256(media_ref) — a no-op plan keeps
+    the original token (byte-identical pass-through). The pixel-level
+    proof of the transforms is out_checksum/mean_after, recomputed by
+    the DuckDB twin over the actual action chain."""
     state = hashlib.sha256(media_ref.encode()).hexdigest()
     for a in actions:
         state = hashlib.sha256(f"{state}:{a}".encode()).hexdigest()
@@ -486,9 +485,16 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
     """Consume the condition stage's prioritized action plan — the
     preprocessing chain's apply pass (document_preprocessing_chain.py:
     227-261): actions run in plan order inside the Arrow-batched
-    mapInPandas stage; skip-predicate rows (needs_processing=false /
-    empty plan) pass through with the original byte token untouched.
-    rotation/skew are zeroed when their corrective action ran."""
+    mapInPandas stage, each as a REAL raster kernel
+    (operators/imaging.py — rotate remap, NN deskew, contrast stretch,
+    gamma LUT, 5x5 median denoise, sharpen convolution + blend) over
+    the decoded raster; skip-predicate rows (needs_processing=false /
+    empty plan) pass through with the original pixels and byte token
+    untouched. rotation/skew are zeroed when their corrective action
+    ran; out_checksum/mean_after expose the transformed pixels for the
+    independent SQL twin."""
+    from pdf2ontology_spark.operators import imaging
+
     cols = assessed.select(
         "doc_id", "offset", "media_ref", "actions", "skew_deg", "rotation_deg"
     )
@@ -496,13 +502,22 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
     cols = cols.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # (real impl: image codec / op kernels initialize here, once per
-        # partition, then each batch applies ops vectorized)
+        import math
+
         for pdf in batches:
             acts = [list(a) for a in pdf["actions"]]
+            G = synth_rasters_batch(list(pdf["media_ref"]))
+            n_px = G.shape[1] * G.shape[2]
+            checksums, means = [], []
+            for i, (a, sk, rot) in enumerate(
+                zip(acts, pdf["skew_deg"], pdf["rotation_deg"])
+            ):
+                g = imaging.apply_chain(G[i], a, float(sk), int(rot))
+                checksums.append(imaging.raster_checksum(g))
+                means.append(math.floor(int(g.sum()) / n_px * 10000.0) / 10000.0)
             out = pdf[["doc_id", "offset", "media_ref"]].copy()
             out["processed_ref"] = [
-                _apply_stub(r, a) for r, a in zip(pdf["media_ref"], acts)
+                _apply_token(r, a) for r, a in zip(pdf["media_ref"], acts)
             ]
             out["applied_joined"] = ["|".join(a) for a in acts]
             out["n_applied"] = [len(a) for a in acts]
@@ -513,6 +528,8 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
                 0 if "deskew" in a else s for s, a in zip(pdf["skew_deg"], acts)
             ]
             out["changed"] = [len(a) > 0 for a in acts]
+            out["out_checksum"] = checksums
+            out["mean_after"] = means
             yield out
 
     return cols.mapInPandas(run_batches, schema=PREPROCESSED_SCHEMA)

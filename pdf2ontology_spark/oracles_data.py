@@ -726,8 +726,11 @@ def skew_rotation_sql(tag: str = "sf0.01", h: int | None = None, w: int | None =
         for dy in range(-2, 3)
         for dx in range(-2, 3)
     )
+    # explicit DOUBLE casts: DuckDB parses bare float literals as
+    # DECIMAL, and decimal arithmetic silently diverges from float64
     theta_rows = ", ".join(
-        f"({k}, {c!r}, {s!r})" for k, c, s in zip(ori.THETA_DEG, ori.COS, ori.SIN)
+        f"({k}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+        for k, c, s in zip(ori.THETA_DEG, ori.COS, ori.SIN)
     )
     e_expr = hexval("hh", 9, 2)
     mx = max(h, w)
@@ -798,7 +801,7 @@ text_o AS (
   SELECT img,
     atan2(2.0 * (sxy - CAST(sx*sy AS DOUBLE)/n),
           (sxx - CAST(sx*sx AS DOUBLE)/n) - (syy - CAST(sy*sy AS DOUBLE)/n))
-      * {ori.DEG_FAC!r} AS raw_ang
+      * CAST({ori.DEG_FAC!r} AS DOUBLE) AS raw_ang
   FROM textm),
 text_o2 AS (
   SELECT img,
@@ -1076,10 +1079,22 @@ SELECT s.image_id, s.weighted_angle, s.median_angle, s.stddev_angle,
 FROM stats s JOIN pick ON pick.image_id = s.image_id"""
 
 
-def preprocessed_media_sql(tag: str = "sf0.01") -> str:
-    """Action-apply twin of media.apply_actions: fold each planned
-    action into the sha256 state chain; skip rows keep the original
-    byte token (sha256(media_ref)) untouched."""
+def preprocessed_media_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
+    """Action-apply twin of media.apply_actions: the full per-image
+    action CHAIN recomputed over the closed-form raster as per-image
+    pixel LISTS — rotate coordinate remap, NN deskew (cos/sin via
+    DuckDB's libm, bit-equal to the kernel's math.*), min-max contrast
+    stretch, the gamma LUT via pow, 25-tap median denoise, the sharpen
+    convolution + the reference's computed (1-0.7) blend — stage-gated
+    by list_contains in the same priority order the engine applies, and
+    exposed as the position-weighted checksum + mean the engine emits.
+    The sha256 processed_ref state chain is the bytes-pointer twin."""
+    from pdf2ontology_spark.operators import imaging
+    from pdf2ontology_spark.operators.media import QUALITY_GRID_H, QUALITY_GRID_W
+
+    h = QUALITY_GRID_H if h is None else h
+    w = QUALITY_GRID_W if w is None else w
+    n = h * w
     plan_list = """list_filter([
       CASE WHEN a_rotate THEN 'rotate' END,
       CASE WHEN a_deskew THEN 'deskew' END,
@@ -1087,13 +1102,108 @@ def preprocessed_media_sql(tag: str = "sf0.01") -> str:
       CASE WHEN a_gamma THEN 'gamma_correction' END,
       CASE WHEN a_denoise THEN 'denoise' END,
       CASE WHEN a_sharpen THEN 'sharpen' END], x -> x IS NOT NULL)"""
+    e_expr = hexval("hh", 9, 2)
+
+    # DuckDB parses bare float literals as DECIMAL; DECIMAL * BIGINT
+    # stays exact-decimal and silently diverges from the kernel's
+    # float64 — every data-path literal must be an explicit DOUBLE
+    def dl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    def clampy(e: str) -> str:
+        return f"least({h - 1}, greatest(0, {e}))"
+
+    def clampx(e: str) -> str:
+        return f"least({w - 1}, greatest(0, {e}))"
+
+    def refl(e: str, hi: int) -> str:  # BORDER_REFLECT_101
+        return f"(CASE WHEN ({e}) < 0 THEN -({e}) WHEN ({e}) > {hi} THEN {2 * hi} - ({e}) ELSE ({e}) END)"
+
+    # --- stage expressions over a pixel list L, element index i (0-based)
+    rot_expr = f"""CASE rotation_deg
+      WHEN 90 THEN list_transform(range(0, {n}), i ->
+        px0[({h - 1} - (i % {w})) * {w} + (i // {w}) + 1])
+      WHEN 180 THEN list_transform(range(0, {n}), i ->
+        px0[({h - 1} - (i // {w})) * {w} + ({w - 1} - (i % {w})) + 1])
+      WHEN 270 THEN list_transform(range(0, {n}), i ->
+        px0[(i % {w}) * {w} + ({w - 1} - (i // {w})) + 1])
+      ELSE px0 END"""
+    # NN inverse-map rotation about (w//2, h//2): src = M^T (dst-c) + c
+    rad_arg = f"CAST(skew_deg AS DOUBLE) * {dl(imaging.RAD)}"
+    desk_expr = f"""list_transform(range(0, {n}), i ->
+      px1[{clampy(f"CAST(floor(sin({rad_arg}) * ((i % {w}) - {w // 2}) + cos({rad_arg}) * ((i // {w}) - {h // 2}) + {h // 2} + 0.5) AS BIGINT)")} * {w}
+        + {clampx(f"CAST(floor(cos({rad_arg}) * ((i % {w}) - {w // 2}) - sin({rad_arg}) * ((i // {w}) - {h // 2}) + {w // 2} + 0.5) AS BIGINT)")} + 1])"""
+    stretch_expr = f"""CASE WHEN list_aggregate(px2, 'max') = list_aggregate(px2, 'min')
+      THEN px2
+      ELSE list_transform(px2, v -> CAST(floor(
+        (v - list_aggregate(px2, 'min')) * {dl(255.0)}
+        / (list_aggregate(px2, 'max') - list_aggregate(px2, 'min')) + 0.5) AS BIGINT))
+      END"""
+    gamma_expr = (
+        f"list_transform(px3, v -> CAST(floor(pow(v / {dl(255.0)}, {dl(imaging.INV_GAMMA)}) * 255) AS BIGINT))"
+    )
+    med_taps = ", ".join(
+        f"px4[{clampy(f'i // {w} + {dy}')} * {w} + {clampx(f'i % {w} + {dx}')} + 1]"
+        for dy in range(-2, 3)
+        for dx in range(-2, 3)
+    )
+    den_expr = f"""list_transform(range(0, {n}), i ->
+      CAST(list_aggregate(list_value({med_taps}), 'median') AS BIGINT))"""
+    nb_taps = " + ".join(
+        f"px5[{refl(f'i // {w} + {dy}', h - 1)} * {w} + {refl(f'i % {w} + {dx}', w - 1)} + 1]"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    )
+    a1 = dl(1.0 - imaging.SHARP_ALPHA)  # the reference computes 1 - alpha
+    a2 = dl(imaging.SHARP_ALPHA)
+    sharp_expr = f"""list_transform(range(0, {n}), i ->
+      greatest(0, least(255, CAST(floor(
+        {a1} * px5[i + 1]
+        + {a2} * greatest(0, least(255, 9 * px5[i + 1] - ({nb_taps})))
+        + 0.5) AS BIGINT))))"""
     return f"""
 WITH {oracles.spans_cte(tag).lstrip()},{_cond_metrics()},
 planned AS (
   SELECT doc_id, off, media_ref, skew_deg, rotation_deg,
          CASE WHEN needs_processing THEN {plan_list}
               ELSE CAST([] AS VARCHAR[]) END AS acts
-  FROM flags)
+  FROM flags),
+rast AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    list_transform(range(0, {n}), i ->
+      lo + (a * (i % {w}) + b * (i // {w}) + c * (i % {w}) * (i // {w}) + d)
+           % (rng + 1)) AS px0
+  FROM (
+    SELECT p.*, {hexval("hh", 1, 2)} % 8 AS a, {hexval("hh", 3, 2)} % 8 AS b,
+      {hexval("hh", 5, 2)} % 3 AS c, {hexval("hh", 7, 2)} AS d,
+      16 + {e_expr} % 180 AS rng,
+      {hexval("hh", 11, 2)} % (256 - (16 + {e_expr} % 180)) AS lo
+    FROM (SELECT *, sha256(media_ref) AS hh FROM planned) p)),
+s1 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'rotate') THEN {rot_expr} ELSE px0 END AS px1
+  FROM rast),
+s2 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'deskew') THEN {desk_expr} ELSE px1 END AS px2
+  FROM s1),
+s3 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'enhance_contrast') THEN {stretch_expr} ELSE px2 END AS px3
+  FROM s2),
+s4 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'gamma_correction') THEN {gamma_expr} ELSE px3 END AS px4
+  FROM s3),
+s5 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'denoise') THEN {den_expr} ELSE px4 END AS px5
+  FROM s4),
+s6 AS MATERIALIZED (
+  SELECT doc_id, off, media_ref, skew_deg, rotation_deg, acts,
+    CASE WHEN list_contains(acts, 'sharpen') THEN {sharp_expr} ELSE px5 END AS pxf
+  FROM s5)
 SELECT doc_id, off AS "offset", media_ref,
   list_reduce(list_prepend(sha256(media_ref), acts),
               (acc, x) -> sha256(acc || ':' || x)) AS processed_ref,
@@ -1103,8 +1213,12 @@ SELECT doc_id, off AS "offset", media_ref,
     AS rotation_deg_after,
   CASE WHEN list_contains(acts, 'deskew') THEN 0 ELSE skew_deg END
     AS skew_deg_after,
-  CAST(len(acts) > 0 AS INTEGER) AS changed
-FROM planned"""
+  CAST(len(acts) > 0 AS INTEGER) AS changed,
+  CAST(list_aggregate(list_transform(range(0, {n}), i -> pxf[i + 1] * (i + 1)),
+                      'sum') AS BIGINT) AS out_checksum,
+  floor(CAST(list_aggregate(pxf, 'sum') AS DOUBLE) / {n} * 10000.0) / 10000.0
+    AS mean_after
+FROM s6"""
 
 
 def simhash_pairs_sql(

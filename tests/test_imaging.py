@@ -1,0 +1,82 @@
+"""Image-action kernels (/root/reference/src/utils/image_utils.py:
+295-481 port): exact per-pixel expectations on hand-built rasters."""
+
+import math
+
+import numpy as np
+
+from pdf2ontology_spark.operators import imaging as I
+
+
+def _ramp():
+    return np.arange(256, dtype=np.int64).reshape(16, 16)
+
+
+def test_rotate_exact_is_cv2_semantics():
+    g = _ramp()
+    r90 = I.rotate_exact(g, 90)
+    # cv2 ROTATE_90_CLOCKWISE: first column (top->bottom) becomes first
+    # row (right->left): out[0, 15] = in[0, 0]
+    assert r90[0, 15] == g[0, 0]
+    assert r90[0, 0] == g[15, 0]
+    assert (I.rotate_exact(I.rotate_exact(g, 90), 270) == g).all()
+    assert (I.rotate_exact(I.rotate_exact(g, 180), 180) == g).all()
+
+
+def test_deskew_zero_is_identity_and_small_angle_moves_pixels():
+    g = _ramp()
+    assert (I.deskew_nn(g, 0.0) == g).all()
+    d = I.deskew_nn(g, 5.0)
+    assert d.shape == g.shape
+    assert (d != g).any()
+    # center pixel is a fixed point of rotation about (8, 8)
+    assert d[8, 8] == g[8, 8]
+
+
+def test_contrast_stretch_full_range():
+    g = np.full((16, 16), 100, dtype=np.int64)
+    g[0, 0] = 50
+    g[15, 15] = 150
+    s = I.contrast_stretch(g)
+    assert s[0, 0] == 0 and s[15, 15] == 255
+    assert s[1, 1] == math.floor((100 - 50) * 255.0 / 100 + 0.5)
+    flat = np.full((16, 16), 7, dtype=np.int64)
+    assert (I.contrast_stretch(flat) == flat).all()
+
+
+def test_gamma_lut_matches_reference_formula():
+    # ((i/255)^(1/1.2))*255 truncated to uint8 (image_utils.py:345-348)
+    for i in (0, 1, 64, 128, 254, 255):
+        assert I.GAMMA_LUT[i] == int(((i / 255.0) ** (1.0 / 1.2)) * 255)
+    assert I.GAMMA_LUT[0] == 0 and I.GAMMA_LUT[255] == 255
+    g = _ramp() % 256
+    assert (I.gamma_correct(g) == np.array(I.GAMMA_LUT)[g]).all()
+
+
+def test_sharpen_kernel_on_impulse():
+    g = np.zeros((16, 16), dtype=np.int64)
+    g[8, 8] = 100
+    s = I.sharpen(g)
+    # center: conv = 9*100 = 900 -> clipped 255; blend 0.3*100 + 0.7*255
+    expect_c = math.floor((1.0 - 0.7) * 100 + 0.7 * 255 + 0.5)
+    assert s[8, 8] == expect_c
+    # neighbor: conv = -100 -> clipped 0; blend 0.3*0 + 0.7*0 = 0
+    assert s[8, 7] == 0
+    flat = np.full((16, 16), 80, dtype=np.int64)
+    assert (I.sharpen(flat) == 80).all()  # conv = 80, blend = 80
+
+
+def test_denoise_median_removes_impulse():
+    g = np.full((16, 16), 60, dtype=np.int64)
+    g[5, 5] = 255
+    assert (I.denoise_median5(g) == 60).all()
+
+
+def test_chain_order_and_checksum():
+    g = _ramp()
+    out = I.apply_chain(g, ["rotate", "sharpen"], 0.0, 180)
+    manual = I.sharpen(I.rotate_exact(g, 180))
+    assert (out == manual).all()
+    assert I.raster_checksum(out) == int(
+        (manual * np.arange(1, 257).reshape(16, 16)).sum()
+    )

@@ -118,17 +118,16 @@ def entity_id_col(name: Column, entity_type: Column) -> Column:
     return F.sha2(F.concat_ws(SEP, canonical_key_col(name, entity_type), entity_type), 256)
 
 
-def nodes(triples: DataFrame) -> DataFrame:
-    """Canonicalized node table (schemas.NODES), exact blocking.
-
-    canonical_form = most frequent surface form (tie -> lexicographically
-    smallest), computed deterministically with min_by over (-count, name).
-    Two hash aggregations, no joins.
-    """
+def per_surface(triples: DataFrame) -> DataFrame:
+    """Per-surface-form statistics — the MERGEABLE node stage: every
+    column combines additively across document subsets (n sums,
+    max_conf maxes, mention_ex is a distributive top-3), so the
+    streaming path can upsert batch-local rows into a surfaces stage
+    table and derive identical nodes (tests/test_stream_graph.py)."""
     # aggregate FIRST on the raw surface form, then derive the canonical id
     # on the (tiny) distinct set — sha2+normalization run per distinct name,
     # not per mention (60k vs 1.35M evaluations at sf0.1)
-    per_surface = (
+    return (
         mentions(triples)
         .groupBy("name", "entity_type")
         .agg(
@@ -142,7 +141,35 @@ def nodes(triples: DataFrame) -> DataFrame:
         )
         .withColumn("entity_id", entity_id_col(F.col("name"), F.col("entity_type")))
     )
-    out = per_surface.groupBy("entity_id", "entity_type").agg(
+
+
+def combine_surfaces(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two per_surface tables over the SAME key space exactly:
+    counts add, confidences max, example mentions re-take the top-3 of
+    the union (distributive, so combine(per_surface(X), per_surface(Y))
+    == per_surface(X ++ Y))."""
+    return (
+        a.unionByName(b)
+        .groupBy("name", "entity_type", "entity_id")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.max("max_conf").alias("max_conf"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mention_ex")))),
+                1,
+                3,
+            ).alias("mention_ex"),
+        )
+    )
+
+
+def nodes_from_surfaces(per_surface_df: DataFrame) -> DataFrame:
+    """Second-level node aggregation over a per_surface stage table.
+
+    canonical_form = most frequent surface form (tie -> lexicographically
+    smallest), computed deterministically with min_by over (-count, name).
+    """
+    out = per_surface_df.groupBy("entity_id", "entity_type").agg(
         F.min_by("name", F.struct((-F.col("n")).alias("nn"), F.col("name"))).alias(
             "canonical_form"
         ),
@@ -181,6 +208,12 @@ def nodes(triples: DataFrame) -> DataFrame:
     )
 
 
+def nodes(triples: DataFrame) -> DataFrame:
+    """Canonicalized node table (schemas.NODES), exact blocking.
+    Two hash aggregations, no joins."""
+    return nodes_from_surfaces(per_surface(triples))
+
+
 def surface_ids(triples: DataFrame) -> DataFrame:
     """(name, entity_type, entity_id) for every DISTINCT mention surface.
 
@@ -197,8 +230,11 @@ def surface_ids(triples: DataFrame) -> DataFrame:
     )
 
 
-def edges(triples: DataFrame) -> DataFrame:
-    """Canonicalized edge table (schemas.EDGES), exact blocking.
+def edge_aggs(triples: DataFrame) -> DataFrame:
+    """Keyed edge aggregates — the MERGEABLE edge stage: weight sums,
+    confidence maxes, evidence is a distributive top-3 and _methods a
+    distinct union, so batch-local rows upsert additively into an
+    edge-aggs stage table (streaming graph materialization).
 
     Endpoint ids come from the surface-id dimension (compute-once,
     join-many); weight = co-occurrence count (Relation.weight semantics,
@@ -227,7 +263,7 @@ def edges(triples: DataFrame) -> DataFrame:
             "extraction_method",
         )
     )
-    agg = e.groupBy("subject_id", "predicate", "object_id").agg(
+    return e.groupBy("subject_id", "predicate", "object_id").agg(
         F.count("*").cast("double").alias("weight"),
         F.max("confidence").alias("confidence"),
         # Relation.evidence (knowledge_models.py:94-97): top-3 distinct
@@ -235,6 +271,31 @@ def edges(triples: DataFrame) -> DataFrame:
         F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias("evidence"),
         F.array_sort(F.collect_set("extraction_method")).alias("_methods"),
     )
+
+
+def combine_edge_aggs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two edge_aggs tables exactly: combine(edge_aggs(X),
+    edge_aggs(Y)) == edge_aggs(X ++ Y)."""
+    return (
+        a.unionByName(b)
+        .groupBy("subject_id", "predicate", "object_id")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.max("confidence").alias("confidence"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("evidence")))),
+                1,
+                3,
+            ).alias("evidence"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_methods")))
+            ).alias("_methods"),
+        )
+    )
+
+
+def edges_from_aggs(agg: DataFrame) -> DataFrame:
+    """Final edge table from an edge_aggs stage table."""
     # metadata fills Relation.metadata (knowledge_models.py:59-62) with
     # real provenance: evidence count + contributing extraction methods
     metadata = F.create_map(
@@ -260,6 +321,11 @@ def edges(triples: DataFrame) -> DataFrame:
         "evidence",
         metadata.alias("metadata"),
     )
+
+
+def edges(triples: DataFrame) -> DataFrame:
+    """Canonicalized edge table (schemas.EDGES), exact blocking."""
+    return edges_from_aggs(edge_aggs(triples))
 
 
 # --------------------------------------------------------------- ontology

@@ -1,10 +1,15 @@
 """Two-parallelism scaling evidence (BASELINE.json north_rule).
 
-Runs the triple-extraction job and the graph job at local[8] and
-local[32] on the SAME input (the sfb synthetic corpus: 2.4M interleaved
-docs) — the sandbox stand-in for N vs 4N executor clusters — and writes
-BENCH/BASELINE.md with throughput at both levels plus scaling
-efficiency = (T_8 / T_32) / 4.
+Runs the triple-extraction job and the graph job at TWO N -> 4N pairs —
+local[4] -> local[16] and local[8] -> local[32] — on the SAME input
+(the sfb synthetic corpus: 2.4M interleaved docs), the sandbox stand-in
+for N vs 4N executor clusters, and writes BENCH/BASELINE.md with
+throughput at every level plus scaling efficiency = (T_N / T_4N) / 4
+per pair. The 4 -> 16 pair exists because the host's measured DRAM
+ceiling (bench_membw.py: 0.64-0.77 efficiency at 32 threads) caps what
+8 -> 32 can show: at 16 threads the socket is not yet
+bandwidth-saturated, so 4 -> 16 exposes the PLAN's intrinsic scaling
+with the shared-memory term mostly removed.
 
 Measurement protocol for this HEAVILY shared host (load average swings
 2 -> 20+ within minutes; identical runs vary up to 4x):
@@ -141,55 +146,66 @@ def run_session(cpus: int) -> dict:
     raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
 
 
+LEVELS = (4, 8, 16, 32)
+PAIRS = ((4, 16), (8, 32))
+
+
 def main() -> None:
     shutil.rmtree(EVDIR, ignore_errors=True)
-    lo_cpus, hi_cpus = 8, 32
-    acc = {lo_cpus: {"triples": [], "graph": []}, hi_cpus: {"triples": [], "graph": []}}
-    hists = {lo_cpus: [], hi_cpus: []}
+    acc = {c: {"triples": [], "graph": []} for c in LEVELS}
+    hists = {c: [] for c in LEVELS}
     n = None
     for _ in range(ROUNDS):
-        for cpus in (lo_cpus, hi_cpus):
+        for cpus in LEVELS:  # interleaved: every level samples each noise regime
             r = run_session(cpus)
             n = r["n_triples"]
             for job in ("triples", "graph"):
                 acc[cpus][job].extend(r["reps"][job])
             hists[cpus].extend(r["hist"])
 
-    rows = []
+    best = {
+        (job, c): min(acc[c][job]) for job in ("triples", "graph") for c in LEVELS
+    }
     best_hist = {}
     for job in ("triples", "graph"):
-        t_lo, t_hi = min(acc[lo_cpus][job]), min(acc[hi_cpus][job])
-        speedup = t_lo / t_hi
-        rows.append((job, t_lo, t_hi, speedup, speedup / (hi_cpus / lo_cpus)))
-        for cpus in (lo_cpus, hi_cpus):
+        for cpus in LEVELS:
             cand = [h for h in hists[cpus] if h["job"] == job]
             best_hist[(job, cpus)] = min(cand, key=lambda h: h["wall_s"]) if cand else {}
 
-    md = f"""# BENCH/BASELINE.md — measured scaling (two parallelism levels)
+    md = f"""# BENCH/BASELINE.md — measured scaling (two N -> 4N pairs)
 
 Same code, same input (sfb synthetic corpus: 2.4M interleaved docs,
 {n} triples), only the `local[N]` core count differs — the sandbox
 stand-in for N vs 4N executor clusters per BASELINE.json north_rule.
-Protocol: interleaved sessions (8, 32, 8, 32), one warmup + {TIMED_REPS} timed
-reps per session, minimum reported (heavily shared host — idle load
-average swings 2 -> 20+; see raw reps for the noise).
+Two pairs: 4 -> 16 runs below the socket's measured DRAM-bandwidth
+ceiling and exposes the PLAN's intrinsic scaling; 8 -> 32 saturates the
+single shared socket and bounds what thread-scaling can show (the
+membw control below quantifies that ceiling). Protocol: interleaved
+sessions (4, 8, 16, 32, ...), one warmup + {TIMED_REPS} timed reps per
+session, minimum reported (heavily shared host — idle load average
+swings 2 -> 20+; see raw reps for the noise).
 
-| job | local[{lo_cpus}] (s) | local[{hi_cpus}] (s) | speedup | scaling efficiency |
-|---|---|---|---|---|
+| job | pair | T_N (s) | T_4N (s) | speedup | scaling efficiency |
+|---|---|---|---|---|---|
 """
-    for job, t_lo, t_hi, sp, eff in rows:
-        md += f"| {job} | {t_lo:.2f} | {t_hi:.2f} | {sp:.2f}x | {eff:.2f} |\n"
-    t_lo, t_hi = rows[0][1], rows[0][2]
-    md += f"""
-triples/sec: local[{lo_cpus}] = {n / t_lo:,.0f}, local[{hi_cpus}] = {n / t_hi:,.0f}
-
+    for job in ("triples", "graph"):
+        for lo, hi in PAIRS:
+            sp = best[(job, lo)] / best[(job, hi)]
+            md += (
+                f"| {job} | {lo} -> {hi} | {best[(job, lo)]:.2f} | "
+                f"{best[(job, hi)]:.2f} | {sp:.2f}x | {sp / (hi / lo):.2f} |\n"
+            )
+    md += "\ntriples/sec: " + ", ".join(
+        f"local[{c}] = {n / best[('triples', c)]:,.0f}" for c in LEVELS
+    ) + "\n"
+    md += """
 ## Per-task histograms (best rep per level, from the Spark event log)
 
 | job | cores | wall (s) | tasks | task CPU-s total | p50 task (ms) | p95 task (ms) |
 |---|---|---|---|---|---|---|
 """
     for job in ("triples", "graph"):
-        for cpus in (lo_cpus, hi_cpus):
+        for cpus in LEVELS:
             h = best_hist.get((job, cpus), {})
             if h:
                 md += (
@@ -211,8 +227,8 @@ north rule targets; the plan itself is embarrassingly
 partition-parallel up to its keyed shuffles (PLANS.md).
 
 """
-    md += f"raw local[{lo_cpus}] reps: `{json.dumps(acc[lo_cpus])}`\n\n"
-    md += f"raw local[{hi_cpus}] reps: `{json.dumps(acc[hi_cpus])}`\n\n"
+    for cpus in LEVELS:
+        md += f"raw local[{cpus}] reps: `{json.dumps(acc[cpus])}`\n\n"
     md += f"full histograms: `{json.dumps({str(k): v for k, v in hists.items()})}`\n"
     md += """
 ## Host control experiment (Spark-free memory scaling)

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "preprocessed_media",
     # round-4 additions
     "media_quality",
+    # round-5 additions
+    "skew_rotation",
 ]
 
 

@@ -85,6 +85,20 @@ def ink_and_edges(G):
     return ink, dil & ~ero
 
 
+# rho bins depend only on (x, y, theta): h*w*n_theta = 15,360 entries,
+# precomputed ONCE with the exact float sequence the definition below
+# documents — the hot path then does integer lookups only
+def _build_bin_lut():
+    yy, xx = np.mgrid[0:GRID_H, 0:GRID_W]
+    xs = xx.reshape(-1)
+    ys = yy.reshape(-1)
+    rho = xs[:, None] * _COS_ARR[None, :] + ys[:, None] * _SIN_ARR[None, :]
+    return np.floor(rho + 0.5).astype(np.int64) + RHO_OFF  # (h*w, nt)
+
+
+_BIN_LUT = _build_bin_lut()
+
+
 def hough_votes(edge):
     """(B,h,w) edge stack -> (B, n_theta, RHO_BINS) vote counts.
 
@@ -97,8 +111,7 @@ def hough_votes(edge):
     votes = np.zeros((B, nt, RHO_BINS), dtype=np.int64)
     if len(b_idx) == 0:
         return votes
-    rho = xx[:, None] * _COS_ARR[None, :] + yy[:, None] * _SIN_ARR[None, :]
-    bins = np.floor(rho + 0.5).astype(np.int64) + RHO_OFF
+    bins = _BIN_LUT[yy * GRID_W + xx]  # (E, nt) integer lookups
     keys = (b_idx[:, None] * nt + np.arange(nt)[None, :]) * RHO_BINS + bins
     counts = np.bincount(keys.ravel(), minlength=B * nt * RHO_BINS)
     return counts.reshape(B, nt, RHO_BINS)
@@ -206,13 +219,74 @@ def trunc4(x: float) -> float:
     return math.floor(x * 10000.0) / 10000.0
 
 
+# precomputed lookup tables for the vectorized batch path
+_SKEW_TI = [i for i, k in enumerate(THETA_DEG) if 45 < k < 135]
+_ANG_SKEW = np.array([THETA_DEG[i] - 90 for i in _SKEW_TI], dtype=np.int64)
+_W_VOTES = (10 * np.abs(np.arange(RHO_BINS) - RHO_OFF)) // max(GRID_H, GRID_W)
+_HB = np.array(
+    [min(((k if k <= 90 else k - 180) + 90) // 5, 35) for k in THETA_DEG],
+    dtype=np.int64,
+)
+_T2H = np.zeros((len(THETA_DEG), 36), dtype=np.int64)
+_T2H[np.arange(len(THETA_DEG)), _HB] = 1
+_YY, _XX = np.mgrid[0:GRID_H, 0:GRID_W]
+
+
 def orientation_batch(G) -> dict:
-    """Full rotation + skew analysis for a (B,h,w) raster stack.
+    """Full rotation + skew analysis for a (B,h,w) raster stack,
+    vectorized across the batch (the per-image scalar helpers above are
+    the reference implementations; tests pin batch == scalar). The only
+    per-image scalar work left is math.atan2 + the band decision —
+    atan2 MUST stay CPython libm for bit-parity with the SQL twin.
 
     Returns per-image lists: text_orientation, edge_orientation,
     rotation_deg, rotation_conf, skew_deg, skew_conf, line_count."""
     ink, edge = ink_and_edges(G)
     votes = hough_votes(edge)
+    B = G.shape[0]
+
+    # ---- skew: weighted median/std over per-theta line counts. The
+    # scalar form expands each qualifying (theta, rho) line into an
+    # angle list; the counts C carry the same multiset, and the median
+    # of the expansion is (v[p1] + v[p2]) / 2 at cumulative positions
+    # p1 = (n-1)//2, p2 = n//2 — np.median's exact interpolation.
+    C = (votes[:, _SKEW_TI, :] >= T_SKEW).sum(axis=2)
+    n = C.sum(axis=1)
+    has = n > 0
+    s1 = (C * _ANG_SKEW).sum(axis=1)
+    s2 = (C * (_ANG_SKEW * _ANG_SKEW)).sum(axis=1)
+    cum = C.cumsum(axis=1)
+    p1 = (np.maximum(n, 1) - 1) // 2
+    p2 = np.maximum(n, 1) // 2
+    idx1 = (cum > p1[:, None]).argmax(axis=1)
+    idx2 = (cum > p2[:, None]).argmax(axis=1)
+    med = (_ANG_SKEW[idx1] + _ANG_SKEW[idx2]) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        std = np.sqrt(
+            s2 / np.maximum(n, 1)
+            - (s1 / np.maximum(n, 1)) * (s1 / np.maximum(n, 1))
+        )
+    skew = np.where(has, med, 0.0)
+    conf0 = np.maximum(0.0, np.minimum(1.0, 1.0 - std / 10.0))
+    sconf = np.minimum(np.where(np.abs(skew) > 1.0, conf0 + 0.1, conf0), 1.0)
+    sconf = np.where(has, sconf, 0.0)
+
+    # ---- edge orientation: |rho|-weighted theta votes -> 36-bin
+    # histogram via an indicator matmul; argmax keeps first-max ties
+    theta_w = ((votes >= T_ROT) * _W_VOTES[None, None, :]).sum(axis=2)
+    hist = theta_w @ _T2H
+    total = hist.sum(axis=1)
+    arg = hist.argmax(axis=1)
+    edge_o = np.where(total == 0, 0.0, -90.0 + 5.0 * arg + 2.5)
+
+    # ---- text orientation: exact integer moment sums per image
+    n_ink = ink.sum(axis=(1, 2))
+    sx = (ink * _XX).sum(axis=(1, 2))
+    sy = (ink * _YY).sum(axis=(1, 2))
+    sxx = (ink * (_XX * _XX)).sum(axis=(1, 2))
+    syy = (ink * (_YY * _YY)).sum(axis=(1, 2))
+    sxy = (ink * (_XX * _YY)).sum(axis=(1, 2))
+
     out = {
         "text_orientation": [],
         "edge_orientation": [],
@@ -220,18 +294,26 @@ def orientation_batch(G) -> dict:
         "rotation_conf": [],
         "skew_deg": [],
         "skew_conf": [],
-        "line_count": [],
+        "line_count": [int(v) for v in n],
     }
-    for i in range(G.shape[0]):
-        text_o = _text_orientation_from_ink(ink[i])
-        edge_o = _edge_orientation_from_votes(votes[i])
-        rot, rconf = _determine_rotation(text_o, edge_o)
-        skew, sconf, n_lines = _skew_from_votes(votes[i])
+    for i in range(B):
+        ni = int(n_ink[i])
+        if ni == 0:
+            text_o = 0.0
+        else:
+            mu20 = int(sxx[i]) - (int(sx[i]) * int(sx[i])) / ni
+            mu02 = int(syy[i]) - (int(sy[i]) * int(sy[i])) / ni
+            mu11 = int(sxy[i]) - (int(sx[i]) * int(sy[i])) / ni
+            text_o = math.atan2(2.0 * mu11, mu20 - mu02) * DEG_FAC
+            if text_o < -45.0:
+                text_o += 90.0
+            elif text_o > 45.0:
+                text_o -= 90.0
+        rot, rconf = _determine_rotation(text_o, float(edge_o[i]))
         out["text_orientation"].append(trunc4(text_o))
-        out["edge_orientation"].append(trunc4(edge_o))
+        out["edge_orientation"].append(trunc4(float(edge_o[i])))
         out["rotation_deg"].append(rot)
         out["rotation_conf"].append(trunc4(rconf))
-        out["skew_deg"].append(trunc4(skew))
-        out["skew_conf"].append(trunc4(sconf))
-        out["line_count"].append(n_lines)
+        out["skew_deg"].append(trunc4(float(skew[i])))
+        out["skew_conf"].append(trunc4(float(sconf[i])))
     return out

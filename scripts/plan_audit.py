@@ -32,6 +32,7 @@ AUDIT = [
     "grid_row_maps",
     "preprocessed_media",
     "media_quality",
+    "skew_rotation",
     "content_layout",
     "shipping_priority",
     "sessionize",

@@ -70,6 +70,28 @@ def test_skew_stats_median_std():
     assert conf == max(0.0, min(1.0, 1.0 - 6.0 / 10.0))  # std = 6
 
 
+def test_batch_path_matches_scalar_reference():
+    """The vectorized orientation_batch must be bit-identical to the
+    per-image scalar helpers (which the SQL twin mirrors)."""
+    refs = [f"media/par_{i}" for i in range(200)]
+    G = synth_rasters_batch(refs)
+    out = O.orientation_batch(G)
+    ink, edge = O.ink_and_edges(G)
+    votes = O.hough_votes(edge)
+    for i in range(len(refs)):
+        t = O._text_orientation_from_ink(ink[i])
+        e = O._edge_orientation_from_votes(votes[i])
+        rot, rconf = O._determine_rotation(t, e)
+        skew, sconf, nl = O._skew_from_votes(votes[i])
+        assert out["text_orientation"][i] == O.trunc4(t)
+        assert out["edge_orientation"][i] == O.trunc4(e)
+        assert out["rotation_deg"][i] == rot
+        assert out["rotation_conf"][i] == O.trunc4(rconf)
+        assert out["skew_deg"][i] == O.trunc4(skew)
+        assert out["skew_conf"][i] == O.trunc4(sconf)
+        assert out["line_count"][i] == nl
+
+
 def test_orientation_batch_deterministic_and_bounded():
     refs = [f"media/x_{i}" for i in range(64)]
     G = synth_rasters_batch(refs)

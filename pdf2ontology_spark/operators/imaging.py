@@ -141,3 +141,100 @@ def raster_checksum(g) -> int:
     h, w = g.shape
     idx = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
     return int((g * idx).sum())
+
+
+# ---------------------------------------------------------------------------
+# Batched forms — one (B, h, w) stack per CHAIN-SIGNATURE group.
+#
+# Every kernel above is elementwise or a fixed gather once its scalar
+# parameter (rotation quadrant, skew angle) is pinned, so broadcasting a
+# leading batch axis changes NOTHING about per-element arithmetic: the
+# gather index maps are computed once from the scalar parameter (via the
+# same math.* libm calls), and the float ops (+,-,*,/ and floor) are
+# IEEE-exact elementwise in both numpy and scalar Python.
+# tests/test_imaging.py pins batch == per-image bit equality.
+# ---------------------------------------------------------------------------
+
+_GAMMA_LUT_NP = np.array(GAMMA_LUT, dtype=np.int64)
+
+
+def rotate_exact_batch(G, deg: int):
+    n, h, w = G.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    if deg == 90:
+        return G[:, h - 1 - xx, yy]
+    if deg == 180:
+        return G[:, h - 1 - yy, w - 1 - xx]
+    if deg == 270:
+        return G[:, xx, w - 1 - yy]
+    return G
+
+
+def deskew_nn_batch(G, skew_deg: float):
+    if skew_deg == 0.0:
+        return G
+    n, h, w = G.shape
+    al = math.cos(skew_deg * RAD)
+    be = math.sin(skew_deg * RAD)
+    cy, cx = h // 2, w // 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    sx = al * (xx - cx) - be * (yy - cy) + cx
+    sy = be * (xx - cx) + al * (yy - cy) + cy
+    rx = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, w - 1)
+    ry = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, h - 1)
+    return G[:, ry, rx]
+
+
+def contrast_stretch_batch(G):
+    mn = G.min(axis=(1, 2), keepdims=True)
+    mx = G.max(axis=(1, 2), keepdims=True)
+    flat = mx == mn
+    denom = np.where(flat, 1, mx - mn)
+    out = np.floor((G - mn) * 255.0 / denom + 0.5).astype(np.int64)
+    return np.where(flat, G, out)
+
+
+def gamma_correct_batch(G):
+    return _GAMMA_LUT_NP[G]
+
+
+def denoise_median5_batch(G):
+    p = np.pad(G, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    n, h, w = G.shape
+    stack = np.stack(
+        [p[:, dy : dy + h, dx : dx + w] for dy in range(5) for dx in range(5)]
+    )
+    return np.median(stack, axis=0).astype(np.int64)
+
+
+def sharpen_batch(G):
+    p = np.pad(G, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    n, h, w = G.shape
+    conv = 9 * G - sum(
+        p[:, dy : dy + h, dx : dx + w]
+        for dy in range(3)
+        for dx in range(3)
+        if not (dy == 1 and dx == 1)
+    )
+    sharp = np.clip(conv, 0, 255)
+    blend = (1.0 - SHARP_ALPHA) * G + SHARP_ALPHA * sharp
+    return np.clip(np.floor(blend + 0.5).astype(np.int64), 0, 255)
+
+
+def apply_chain_batch(G, actions, skew_deg: float, rotation_deg: int):
+    """Batched ``apply_chain`` for a group of images SHARING one chain
+    signature (identical action tuple, rotation quadrant, skew angle)."""
+    for a in actions:
+        if a == "rotate":
+            G = rotate_exact_batch(G, rotation_deg)
+        elif a == "deskew":
+            G = deskew_nn_batch(G, skew_deg)
+        elif a == "enhance_contrast":
+            G = contrast_stretch_batch(G)
+        elif a == "gamma_correction":
+            G = gamma_correct_batch(G)
+        elif a == "denoise":
+            G = denoise_median5_batch(G)
+        elif a == "sharpen":
+            G = sharpen_batch(G)
+    return G

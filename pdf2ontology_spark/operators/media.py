@@ -502,19 +502,39 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
     cols = cols.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in batches:
             acts = [list(a) for a in pdf["actions"]]
             G = synth_rasters_batch(list(pdf["media_ref"]))
-            n_px = G.shape[1] * G.shape[2]
-            checksums, means = [], []
+            n, h, w = G.shape
+            n_px = h * w
+            # Group rows by CHAIN SIGNATURE — the action tuple plus the
+            # only parameters the kernels read (rotation iff the chain
+            # rotates, skew iff it deskews; ~hundreds of distinct
+            # signatures per corpus) — and run each group's chain once
+            # over a (B, h, w) stack. Bit-identical to the per-image
+            # path (pinned by tests/test_media.py): parameter-pinned
+            # kernels are pure elementwise/gather ops under a batch axis.
+            groups: dict = {}
             for i, (a, sk, rot) in enumerate(
                 zip(acts, pdf["skew_deg"], pdf["rotation_deg"])
             ):
-                g = imaging.apply_chain(G[i], a, float(sk), int(rot))
-                checksums.append(imaging.raster_checksum(g))
-                means.append(math.floor(int(g.sum()) / n_px * 10000.0) / 10000.0)
+                key = (
+                    tuple(a),
+                    int(rot) if "rotate" in a else 0,
+                    float(sk) if "deskew" in a else 0.0,
+                )
+                groups.setdefault(key, []).append(i)
+            idxw = np.arange(1, n_px + 1, dtype=np.int64).reshape(h, w)
+            checksums = np.zeros(n, dtype=np.int64)
+            means = np.zeros(n, dtype=np.float64)
+            for (a, rot, sk), rows in groups.items():
+                ix = np.array(rows, dtype=np.int64)
+                g = imaging.apply_chain_batch(G[ix], a, sk, rot)
+                checksums[ix] = (g * idxw).sum(axis=(1, 2))
+                sums = g.reshape(len(ix), -1).sum(axis=1)
+                means[ix] = np.floor(sums / n_px * 10000.0) / 10000.0
             out = pdf[["doc_id", "offset", "media_ref"]].copy()
             out["processed_ref"] = [
                 _apply_token(r, a) for r, a in zip(pdf["media_ref"], acts)

@@ -80,3 +80,26 @@ def test_chain_order_and_checksum():
     assert I.raster_checksum(out) == int(
         (manual * np.arange(1, 257).reshape(16, 16)).sum()
     )
+
+
+def test_batched_chain_bit_identical_to_scalar():
+    """The grouped (B, h, w) chain path must equal the per-image path
+    bit-for-bit for every kernel and parameter mix — the invariant that
+    lets apply_actions run one batched chain per signature group."""
+    from pdf2ontology_spark.operators.media import synth_rasters_batch
+
+    refs = [f"media://doc{i}/img{i % 7}" for i in range(23)]
+    G = synth_rasters_batch(refs)
+    chains = [
+        (("rotate", "deskew", "enhance_contrast"), 3.7, 90),
+        (("deskew", "sharpen"), -11.25, 0),
+        (("gamma_correction", "denoise"), 0.0, 0),
+        (("rotate", "denoise", "sharpen", "gamma_correction"), 0.0, 270),
+        (("enhance_contrast",), 0.0, 0),
+        ((), 0.0, 0),
+    ]
+    for actions, sk, rot in chains:
+        got = I.apply_chain_batch(G.copy(), actions, sk, rot)
+        for i in range(len(refs)):
+            want = I.apply_chain(G[i].copy(), list(actions), sk, rot)
+            assert (got[i] == want).all(), (actions, sk, rot, i)

@@ -2,8 +2,9 @@
 
 The scaling harness (bench_scaling.py) shows task CPU-seconds inflating
 ~2x when the same job runs on 32 threads instead of 8. This control
-measures the HOST's intrinsic 8->32 memory scaling with zero JVM, zero
-shuffle, zero synchronization — pure numpy over arrays far beyond LLC:
+measures the HOST's intrinsic memory scaling at 4/8/16/32 workers
+(both N -> 4N pairs) with zero JVM, zero shuffle, zero
+synchronization — pure numpy over arrays far beyond LLC:
 
 - streaming sweep: sequential sum over a 320MB array (DRAM bandwidth);
 - random gather:   indexed gather-sum (latency/TLB-bound, the access
@@ -58,13 +59,11 @@ def run(kernel, workers: int, sec: float = 6.0) -> float:
 def main() -> None:
     out: dict = {}
     for name, kernel in (("stream_bytes_per_s", _stream), ("gather_ops_per_s", _gather)):
-        r8, r32 = run(kernel, 8), run(kernel, 32)
-        out[name] = {
-            "p8": round(r8, 0),
-            "p32": round(r32, 0),
-            "speedup_8_to_32": round(r32 / r8, 2),
-            "efficiency": round(r32 / r8 / 4, 2),
-        }
+        r = {w: run(kernel, w) for w in (4, 8, 16, 32)}
+        out[name] = {f"p{w}": round(r[w], 0) for w in r}
+        for lo, hi in ((4, 16), (8, 32)):
+            out[name][f"speedup_{lo}_to_{hi}"] = round(r[hi] / r[lo], 2)
+            out[name][f"efficiency_{lo}_to_{hi}"] = round(r[hi] / r[lo] / 4, 2)
     print(json.dumps(out))
 
 

@@ -234,15 +234,23 @@ partition-parallel up to its keyed shuffles (PLANS.md).
 ## Host control experiment (Spark-free memory scaling)
 
 `scripts/bench_membw.py` — pure numpy kernels over 320MB arrays (no
-JVM, no shuffle, no synchronization), 8 vs 32 worker processes on this
-host (measured 2026-08-16, alongside the scaling runs):
+JVM, no shuffle, no synchronization), 4/8/16/32 worker processes on
+this host (measured 2026-08-17, alongside the round-5 scaling runs):
 
-| kernel | 8 procs | 32 procs | 8->32 speedup | efficiency |
-|---|---|---|---|---|
-| streaming sum (DRAM bandwidth) | 60.7 GB/s | 188.0 GB/s | 3.1x | 0.77 |
-| random gather (latency/TLB — the hash-agg / string access pattern) | 343 M/s | 877 M/s | 2.56x | 0.64 |
+| kernel | 4 | 8 | 16 | 32 | 4->16 eff | 8->32 eff |
+|---|---|---|---|---|---|---|
+| streaming sum (DRAM bandwidth, GB/s) | 35.1 | 49.4 | 122.3 | 136.9 | 0.87 | 0.69 |
+| random gather (latency/TLB — the hash-agg / string pattern, M ops/s) | 115 | 161 | 372 | 261 | 0.81 | 0.41 |
 
-Even ideal kernels lose 23-36% per-thread throughput going 8 -> 32 on
+The gather kernel is ABSOLUTELY SLOWER at 32 workers than at 16 — the
+single shared socket saturates near 16 threads on the access pattern
+that dominates hash aggregation and string work, which is why the
+4 -> 16 pair (below saturation) is the one that exposes the PLAN's
+intrinsic scaling and 8 -> 32 mostly re-measures the socket. (The
+2026-08-16 run of the same control gave 0.77 stream / 0.64 gather at
+8 -> 32 — the ceiling itself swings with neighbor load.)
+
+Even ideal kernels lose 13-19% per-thread throughput going 4 -> 16 on
 this single shared socket; the engine's measured job efficiency sits
 where a string/hash-heavy JVM workload is expected to land relative to
 those ceilings (JVM allocation + shuffle I/O + the neighbor noise

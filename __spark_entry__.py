@@ -542,6 +542,81 @@ def q_event_type_stats(spark, sf_dir):
     return relational.event_type_stats(tables.load_table(spark, sf_dir, "events"))
 
 
+# ------------------------------------------------------- streaming
+# §2.9 driven through the driver's oracle gate: each query drains the
+# documents table through the REAL Structured Streaming path
+# (availableNow trigger, foreachBatch sinks, fresh checkpoint per call)
+# and returns the accumulated result as a batch DataFrame. Streaming
+# must equal batch — so each shares its batch twin's DuckDB oracle.
+
+
+def _stream_base() -> str:
+    import os
+    import tempfile
+    import uuid
+
+    return os.path.join(tempfile.gettempdir(), "graft_stream_q", uuid.uuid4().hex)
+
+
+def _stream_input(base: str, sf_dir: str) -> str:
+    """Structured Streaming's file source monitors a DIRECTORY; the
+    synthetic spans corpus is a single parquet file. Stage a per-call
+    input dir holding a symlink to it — zero copy, and the source sees
+    exactly the corpus the batch queries read."""
+    import os
+
+    src = synth.ensure_synth(sf_dir)["documents_spans"]
+    d = os.path.join(base, "in")
+    os.makedirs(d, exist_ok=True)
+    os.symlink(src, os.path.join(d, "part-00000.parquet"))
+    return d
+
+
+def q_streaming_triples(spark, sf_dir):
+    """stream_triples: readStream(documents) -> fused extraction per
+    micro-batch -> parquet sink; the drained sink must equal the batch
+    fused plan (oracle: all_triples_sql, same as triples_all)."""
+    import os
+
+    from pdf2ontology_spark.streaming import incremental
+
+    base = _stream_base()
+    out = os.path.join(base, "out")
+    q = incremental.stream_triples(
+        spark, _stream_input(base, sf_dir), out, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def q_streaming_nodes(spark, sf_dir):
+    """stream_graph_upsert: per micro-batch, merge-upsert the mergeable
+    graph stages (surfaces / edge_aggs), then derive the node table from
+    the upserted stage — must equal the batch graph (oracle: nodes)."""
+    import os
+
+    from pdf2ontology_spark.streaming import incremental
+
+    base = _stream_base()
+    q = incremental.stream_graph_upsert(
+        spark, _stream_input(base, sf_dir), base, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return incremental.read_stream_nodes(spark, base).select(
+        "entity_id",
+        "name",
+        "canonical_form",
+        "entity_type",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "mention_count",
+        "confidence",
+        F.array_join("mentions", "|").alias("mentions_joined"),
+        "uri",
+        F.to_json("external_ids").alias("external_ids_json"),
+        F.to_json("properties").alias("properties_json"),
+    )
+
+
 def q_quarantine_accounting(spark, sf_dir):
     """Input-guard accounting over both guarded sources: every row is
     either passed or quarantined — the zero is explicit."""
@@ -672,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
+        "streaming_triples": q_streaming_triples,
+        "streaming_nodes": q_streaming_nodes,
         "segment_spans": q_segment_spans,
         "span_invariant": q_span_invariant,
         "doc_stats": q_doc_stats,
@@ -745,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
     TP = o.triples_prefix(tag)
     eid_m = o.entity_id_sql("name", "entity_type")
 
-    return {
+    sql = {
         "segment_spans": W + '\nSELECT doc_id, kind, text, media_ref, off AS "offset" FROM spans',
         "span_invariant": f"""
 SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
@@ -1048,3 +1125,9 @@ SELECT event_type, count(*) AS n,
   round(stddev(value), 4) AS stddev_value
 FROM events GROUP BY event_type""",
     }
+    # the streaming queries drain the SAME dataflow through Structured
+    # Streaming sinks, so each shares its batch twin's oracle verbatim:
+    # streaming == batch is exactly the claim the driver should check
+    sql["streaming_triples"] = sql["triples_all"]
+    sql["streaming_nodes"] = sql["nodes"]
+    return sql

@@ -551,11 +551,17 @@ def q_event_type_stats(spark, sf_dir):
 
 
 def _stream_base() -> str:
+    import atexit
     import os
+    import shutil
     import tempfile
     import uuid
 
-    return os.path.join(tempfile.gettempdir(), "graft_stream_q", uuid.uuid4().hex)
+    base = os.path.join(tempfile.gettempdir(), "graft_stream_q", uuid.uuid4().hex)
+    # the returned DataFrames stay bound to these parquet files for the
+    # caller's lifetime — clean up only at interpreter exit
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 def _stream_input(base: str, sf_dir: str) -> str:

@@ -198,13 +198,20 @@ def gamma_correct_batch(G):
     return _GAMMA_LUT_NP[G]
 
 
-def denoise_median5_batch(G):
-    p = np.pad(G, ((0, 0), (2, 2), (2, 2)), mode="edge")
+def denoise_median5_batch(G, chunk: int = 1024):
+    """25-tap median over the batch. The tap stack is a 25x transient
+    copy (plus np.median's partition copy), so large signature groups
+    are processed in fixed-size chunks — bounded memory per task, same
+    per-image arithmetic."""
     n, h, w = G.shape
-    stack = np.stack(
-        [p[:, dy : dy + h, dx : dx + w] for dy in range(5) for dx in range(5)]
-    )
-    return np.median(stack, axis=0).astype(np.int64)
+    out = np.empty_like(G)
+    for s in range(0, n, chunk):
+        p = np.pad(G[s : s + chunk], ((0, 0), (2, 2), (2, 2)), mode="edge")
+        stack = np.stack(
+            [p[:, dy : dy + h, dx : dx + w] for dy in range(5) for dx in range(5)]
+        )
+        out[s : s + chunk] = np.median(stack, axis=0).astype(np.int64)
+    return out
 
 
 def sharpen_batch(G):
@@ -219,6 +226,15 @@ def sharpen_batch(G):
     sharp = np.clip(conv, 0, 255)
     blend = (1.0 - SHARP_ALPHA) * G + SHARP_ALPHA * sharp
     return np.clip(np.floor(blend + 0.5).astype(np.int64), 0, 255)
+
+
+def raster_checksum_batch(G):
+    """Batched ``raster_checksum``: one int64 per image, identical
+    weights — the single home of the sum(v * (y*w + x + 1)) formula the
+    SQL twin recomputes."""
+    n, h, w = G.shape
+    idx = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+    return (G * idx).sum(axis=(1, 2))
 
 
 def apply_chain_batch(G, actions, skew_deg: float, rotation_deg: int):

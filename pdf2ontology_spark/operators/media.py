@@ -530,13 +530,12 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
                     float(sk) if "deskew" in a else 0.0,
                 )
                 groups.setdefault(key, []).append(i)
-            idxw = np.arange(1, n_px + 1, dtype=np.int64).reshape(h, w)
             checksums = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
             for (a, rot, sk), rows in groups.items():
                 ix = np.array(rows, dtype=np.int64)
                 g = imaging.apply_chain_batch(G[ix], a, sk, rot)
-                checksums[ix] = (g * idxw).sum(axis=(1, 2))
+                checksums[ix] = imaging.raster_checksum_batch(g)
                 sums = g.reshape(len(ix), -1).sum(axis=1)
                 means[ix] = np.floor(sums / n_px * 10000.0) / 10000.0
             out = pdf[["doc_id", "offset", "media_ref"]].copy()

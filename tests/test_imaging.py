@@ -90,8 +90,12 @@ def test_batched_chain_bit_identical_to_scalar():
 
     refs = [f"media://doc{i}/img{i % 7}" for i in range(23)]
     G = synth_rasters_batch(refs)
+    # include a FLAT image so contrast_stretch_batch's mx==mn branch is
+    # exercised in the same stack as stretchable images
+    G = np.concatenate([G, np.full((1, 16, 16), 7, dtype=np.int64)])
     chains = [
         (("rotate", "deskew", "enhance_contrast"), 3.7, 90),
+        (("rotate", "denoise"), 0.0, 180),
         (("deskew", "sharpen"), -11.25, 0),
         (("gamma_correction", "denoise"), 0.0, 0),
         (("rotate", "denoise", "sharpen", "gamma_correction"), 0.0, 270),
@@ -100,6 +104,15 @@ def test_batched_chain_bit_identical_to_scalar():
     ]
     for actions, sk, rot in chains:
         got = I.apply_chain_batch(G.copy(), actions, sk, rot)
-        for i in range(len(refs)):
+        for i in range(G.shape[0]):
             want = I.apply_chain(G[i].copy(), list(actions), sk, rot)
             assert (got[i] == want).all(), (actions, sk, rot, i)
+        assert (
+            I.raster_checksum_batch(got)
+            == np.array([I.raster_checksum(got[i]) for i in range(G.shape[0])])
+        ).all()
+    # the chunked median must be seamless across a chunk boundary
+    big = np.concatenate([G] * 2)
+    got = I.denoise_median5_batch(big, chunk=5)
+    want = I.denoise_median5_batch(big)
+    assert (got == want).all()

@@ -58,6 +58,12 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG blob store (media_ref, png) — real encoded bytes the
+    media operators decode with the engine's stdlib PNG reader."""
+    return tables.load_media_blobs(spark, sf_dir)
+
+
 def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tabulate.semantic_entries(tabulate.table_cells(_spans(spark, sf_dir)))
 
@@ -450,7 +456,7 @@ def q_assess_media(spark, sf_dir):
 def q_assess_media_real(spark, sf_dir):
     # skew_deg / rotation_deg are PIXEL-DERIVED since round 5
     # (orientation.py: Hough lines + ink moments over the raster)
-    return condition.assess_media_real(_spans(spark, sf_dir)).select(
+    return condition.assess_media_real(_spans(spark, sf_dir), _blobs(spark, sf_dir)).select(
         "doc_id",
         "offset",
         "media_ref",
@@ -474,7 +480,7 @@ def q_skew_rotation(spark, sf_dir):
     # text/edge orientations, the banded rotation decision + confidence,
     # Hough-line skew + confidence + line count — every column
     # recomputed independently by the DuckDB twin (skew_rotation_sql)
-    return media.assess_media_full(_spans(spark, sf_dir)).select(
+    return media.assess_media_full(_spans(spark, sf_dir), _blobs(spark, sf_dir)).select(
         "doc_id",
         "offset",
         "media_ref",
@@ -492,7 +498,9 @@ def q_preprocessed_media(spark, sf_dir):
     # out_checksum / mean_after are pixel-derived since round 5: the
     # action chain transforms the actual raster (operators/imaging.py)
     # and the DuckDB twin recomputes every stage on per-image lists
-    out = media.apply_actions(condition.assess_media(_spans(spark, sf_dir)))
+    out = media.apply_actions(
+        condition.assess_media(_spans(spark, sf_dir)), _blobs(spark, sf_dir)
+    )
     return out.select(
         "doc_id",
         "offset",
@@ -703,24 +711,26 @@ def q_dominant_angle(spark, sf_dir):
 
 # ------------------------------------------------------------- media
 def q_media_features(spark, sf_dir):
-    return media.media_features(_spans(spark, sf_dir))
+    return media.media_features(_spans(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_media_quality(spark, sf_dir):
     # REAL metric math (the reference QualityAssessor's kernels in
     # numpy) over the deterministic synthetic raster; the DuckDB twin
     # recomputes the same kernels in closed-form SQL.
-    return media.media_quality(_spans(spark, sf_dir))
+    return media.media_quality(_spans(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_content_layout(spark, sf_dir):
     # REAL projection math (the reference ContentAnalyzer's column
     # detector) over the deterministic synthetic raster.
-    return media.content_layout(_spans(spark, sf_dir))
+    return media.content_layout(_spans(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_media_stats(spark, sf_dir):
-    return media.media_stats(media.media_features(_spans(spark, sf_dir)))
+    return media.media_stats(
+        media.media_features(_spans(spark, sf_dir), _blobs(spark, sf_dir))
+    )
 
 
 def q_frame_samples(spark, sf_dir):

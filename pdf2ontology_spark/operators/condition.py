@@ -100,7 +100,7 @@ def assess_media(spans: DataFrame) -> DataFrame:
     ).drop("_bi", "_ci", "_si", "_ni")
 
 
-def assess_media_real(spans: DataFrame) -> DataFrame:
+def assess_media_real(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
     """``assess_media`` with EVERY metric family real: quality scores
     from the QualityAssessor kernels (Laplacian variance, 5x5 median
     filter) AND — since round 5 — pixel-derived skew/rotation from the
@@ -122,7 +122,7 @@ def assess_media_real(spans: DataFrame) -> DataFrame:
     from pdf2ontology_spark.operators import media
 
     df = (
-        media.assess_media_full(spans)
+        media.assess_media_full(spans, blobs)
         .withColumnRenamed("overall_score", "quality")
         .drop("text_orientation", "edge_orientation")
     )

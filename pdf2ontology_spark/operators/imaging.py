@@ -47,8 +47,15 @@ GAMMA_LUT = [int(math.pow(i / 255.0, INV_GAMMA) * 255) for i in range(256)]
 
 def rotate_exact(g, deg: int):
     """cv2.rotate semantics: out[y,x] = in[h-1-x, y] (90 CW),
-    in[h-1-y, w-1-x] (180), in[x, w-1-y] (270 = 90 CCW)."""
+    in[h-1-y, w-1-x] (180), in[x, w-1-y] (270 = 90 CCW).
+
+    SQUARE rasters only for 90/270: cv2.rotate maps (h, w) -> (w, h)
+    there, and this in-shape remap (and its SQL twin's row-stride
+    expressions) is only the correct transpose when h == w — asserted
+    instead of silently producing a wrong remap on a future non-square
+    grid."""
     h, w = g.shape
+    assert h == w or deg in (0, 180), f"90/270 remap needs square raster, got {h}x{w}"
     yy, xx = np.mgrid[0:h, 0:w]
     if deg == 90:
         return g[h - 1 - xx, yy]
@@ -160,6 +167,7 @@ _GAMMA_LUT_NP = np.array(GAMMA_LUT, dtype=np.int64)
 
 def rotate_exact_batch(G, deg: int):
     n, h, w = G.shape
+    assert h == w or deg in (0, 180), f"90/270 remap needs square raster, got {h}x{w}"
     yy, xx = np.mgrid[0:h, 0:w]
     if deg == 90:
         return G[:, h - 1 - xx, yy]

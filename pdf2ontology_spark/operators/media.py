@@ -3,21 +3,32 @@ with typed metadata, decoded/feature-extracted via Arrow-batched
 mapInPandas (the reference's CV stages — image_utils.py:295-481,
 document_analysis_utils.py — live HERE as per-batch vectorized work).
 
-The container has no image/audio libraries, so the byte fetch/decode
-step is a clearly-marked DETERMINISTIC STUB (sha256-derived fake
-dimensions / synthetic raster); everything around it — schema, salted
-partitioning, Arrow batch shape, UDF signature — is the real Spark
-plumbing and is tested. The QUALITY METRIC family is NOT a stub: the
-reference QualityAssessor's kernels (Laplacian variance, 5x5 median
-filter, std/mean normalizations) are ported as real numpy in
-``assess_quality_gray`` and verified against an independent closed-form
-DuckDB twin. Swap ``_decode_stub``/``synth_raster`` for cv2/PIL on a
-real cluster; the surrounding plan does not change.
+DECODE: each operator takes an optional ``blobs`` table
+((media_ref, png) — real encoded bytes, the corpus blob store) and
+decodes it with the engine's stdlib PNG reader
+(``png_codec.decode_png_gray_batch``: chunk/CRC parse, inflate,
+defilter 0-4). That is the genuine byte->pixel path the reference runs
+through cv2.imdecode (/root/reference/src/loader.py:18-33,
+image_utils.py:567-604); only non-PNG container formats remain behind
+the seam (no cv2/PIL in this container). Without a ``blobs`` table the
+operators fall back to the deterministic closed-form raster
+(``raster.synth_rasters_batch``) — the labeled fixture path used by the
+huge throughput-bench corpora where materializing millions of blobs
+buys nothing. Both paths produce identical pixels by construction, so
+the kernel families are oracle-checked against independent closed-form
+DuckDB twins either way.
 
-Scale notes: media bytes stay OUT of the row (media_ref pointer,
-resolved inside the batch UDF) so span-stage shuffles move strings, not
-blobs. Partitioning salts on the media_ref hash — media-heavy docs are
-exactly the north-rule skew case.
+The QUALITY METRIC family is real math: the reference QualityAssessor's
+kernels (Laplacian variance, 5x5 median filter, std/mean
+normalizations) are ported as numpy in ``assess_quality_gray`` and
+verified against the independent DuckDB twin.
+
+Scale notes: media bytes stay OUT of the span row (media_ref pointer;
+the bytes enter through ONE co-partitioned join on media_ref straight
+into the Arrow stage — at deployment scale the blob table is bucketed
+by media_ref so that join is co-located, no shuffle of the bytes).
+Partitioning salts on the media_ref hash — media-heavy docs are exactly
+the north-rule skew case.
 """
 
 from __future__ import annotations
@@ -29,46 +40,121 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf2ontology_spark import png_codec, raster
+
+QUALITY_GRID_H = raster.GRID_H
+QUALITY_GRID_W = raster.GRID_W
+
+# re-exports: the pattern moved to the pyspark-free fixtures module
+# (pdf2ontology_spark.raster) so synth's encoder workers share it;
+# these names stay importable for existing callers/tests
+synth_raster = raster.synth_raster
+synth_rasters_batch = raster.synth_rasters_batch
+
+
+def _media_base(spans: DataFrame, blobs: DataFrame | None) -> DataFrame:
+    """The shared head of every media operator: media-kind spans,
+    optionally joined with the blob store (inner join on media_ref —
+    a media row without bytes cannot be decoded; the quarantine path
+    accounts for refs missing from the store, see blob_accounting),
+    then salt-repartitioned so a 50-media-span doc cannot pin one
+    partition."""
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    if blobs is not None:
+        media = media.join(blobs.select("media_ref", "png"), "media_ref")
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+
+
+def _rasters_for(part: pd.DataFrame):
+    """(B, h, w) int64 pixel stack for one pandas chunk: decode real PNG
+    bytes when the batch carries them, else render the closed-form
+    fixture pattern (bench-corpus fallback; identical pixels)."""
+    if "png" in part.columns:
+        return png_codec.decode_png_gray_batch(list(part["png"]))
+    return raster.synth_rasters_batch(list(part["media_ref"]))
+
 MEDIA_FEATURES_SCHEMA = (
     "doc_id string, media_ref string, offset int, width int, height int, "
     "format string, phash string, decode_ok boolean"
 )
 
 
-def _decode_stub(media_ref: str) -> tuple[int, int, str, str, bool]:
-    """STUB decode: real deployments fetch bytes at media_ref and run
-    cv2/PIL here (batch-vectorized). This stub derives deterministic
-    fake dimensions/format/phash from sha256(media_ref) so the plumbing
-    is testable and oracle-checkable without image libs."""
-    h = hashlib.sha256(media_ref.encode()).hexdigest()
-    width = 64 + int(h[:4], 16) % 4032
-    height = 64 + int(h[4:8], 16) % 3024
-    fmt = ["png", "jpeg", "tiff"][int(h[8:10], 16) % 3]
-    return width, height, fmt, h[:16], True
+def ahash_batch(G) -> list[str]:
+    """Average-hash perceptual fingerprint over a (B, h, w) pixel stack:
+    2x2 average-pool to an 8x8 grid, threshold each block mean against
+    the image mean, pack the 64 bits row-major MSB-first as 16 hex
+    chars. All comparisons are exact-integer (block_sum * 64 vs total
+    pixel sum — the /4 and /256 normalizations cancel), so the DuckDB
+    twin reproduces every bit."""
+    import numpy as np
+
+    B, h, w = G.shape
+    assert h % 8 == 0 and w % 8 == 0, f"aHash needs 8-divisible dims, got {h}x{w}"
+    by, bx = h // 8, w // 8
+    blocks = G.reshape(B, 8, by, 8, bx).sum(axis=(2, 4))  # (B, 8, 8) block sums
+    total = G.sum(axis=(1, 2))[:, None, None]
+    # block_sum/(by*bx) > total/(h*w) with h*w = 64*by*bx reduces to:
+    bits = (blocks * 64 > total).reshape(B, 64)
+    weights = 1 << np.arange(63, -1, -1, dtype=np.uint64)
+    vals = (bits.astype(np.uint64) * weights).sum(axis=1)
+    return [format(int(v), "016x") for v in vals]
 
 
-def media_features(spans: DataFrame) -> DataFrame:
-    """media spans -> decoded feature rows via mapInPandas.
+def media_features(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
+    """media spans -> decoded feature rows via mapInPandas: width/height
+    and format from the actual PNG header (``png_codec.read_png_header``
+    + magic-byte sniff), perceptual fingerprint from the decoded pixels
+    (``ahash_batch``). Per-item error tolerance (F11): a blob that fails
+    to parse yields decode_ok=false with zeroed metadata instead of
+    failing the stage — the quarantine pattern for corrupt bytes.
 
     The UDF is an iterator-of-batches function: per-executor init (model
     loads, codec setup) happens once per partition, mirroring the
     reference's module-level model loads (SURVEY.md §4.2).
     """
-    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
-    # salt hot documents: a 50-media-span doc must not pin one partition
-    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    media = _media_base(spans, blobs)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # (real impl: open codec/model handles here, once per partition)
+        import numpy as np
+
         for pdf in batches:
-            feats = [_decode_stub(ref) for ref in pdf["media_ref"]]
+            n = len(pdf)
             out = pdf[["doc_id", "media_ref", "offset"]].copy()
-            out["width"] = [f[0] for f in feats]
-            out["height"] = [f[1] for f in feats]
-            out["format"] = [f[2] for f in feats]
-            out["phash"] = [f[3] for f in feats]
-            out["decode_ok"] = [f[4] for f in feats]
+            widths = np.zeros(n, dtype=np.int64)
+            heights = np.zeros(n, dtype=np.int64)
+            fmts = [""] * n
+            hashes = [""] * n
+            oks = [False] * n
+            imgs, ok_ix = [], []
+            if "png" in pdf.columns:
+                for i, blob in enumerate(pdf["png"]):
+                    try:
+                        b = bytes(blob)
+                        fmts[i] = "png" if b[:8] == png_codec.PNG_SIG else "unknown"
+                        g = png_codec.decode_png_gray(b)
+                    except (png_codec.PngFormatError, TypeError):
+                        continue
+                    heights[i], widths[i] = g.shape
+                    oks[i] = True
+                    imgs.append(g)
+                    ok_ix.append(i)
+            else:
+                G = raster.synth_rasters_batch(list(pdf["media_ref"]))
+                imgs = list(G)
+                ok_ix = list(range(n))
+                heights[:], widths[:] = G.shape[1], G.shape[2]
+                fmts = ["png"] * n
+                oks = [True] * n
+            if ok_ix:
+                hs = ahash_batch(np.stack(imgs))
+                for i, hx in zip(ok_ix, hs):
+                    hashes[i] = hx
+            out["width"] = widths
+            out["height"] = heights
+            out["format"] = fmts
+            out["phash"] = hashes
+            out["decode_ok"] = oks
             yield out
 
     return media.mapInPandas(decode_batches, schema=MEDIA_FEATURES_SCHEMA)
@@ -79,31 +165,6 @@ QUALITY_SCHEMA = (
     "brightness_score double, sharpness_score double, noise_level double, "
     "overall_score double, issues_joined string"
 )
-
-QUALITY_GRID_H = 16
-QUALITY_GRID_W = 16
-
-
-def synth_raster(media_ref: str, h: int = QUALITY_GRID_H, w: int = QUALITY_GRID_W):
-    """STUB fetch+decode ONLY: real deployments fetch the bytes at
-    ``media_ref`` and cv2.imdecode them here. This derives a
-    deterministic grayscale raster from sha256(media_ref) — a bilinear
-    ramp with per-image slope (a, b, c), base level and dynamic range
-    (lo, rng), wrapped mod (rng+1) so it has real edges — chosen to be
-    reproducible in closed-form SQL, so the REAL metric kernels in
-    ``assess_quality_gray`` are verified end-to-end by an independent
-    DuckDB twin (oracles_data.media_quality_sql)."""
-    import numpy as np
-
-    hx = hashlib.sha256(media_ref.encode()).hexdigest()
-    a, b, c, d, e, f = (int(hx[i * 2 : i * 2 + 2], 16) for i in range(6))
-    a %= 8
-    b %= 8
-    c %= 3
-    rng = 16 + e % 180
-    lo = f % (256 - rng)
-    y, x = np.mgrid[0:h, 0:w]
-    return (lo + (a * x + b * y + c * x * y + d) % (rng + 1)).astype(np.int64)
 
 
 def _laplacian_reflect101(g):
@@ -263,17 +324,15 @@ def _count_runs(valley, w: int) -> int:
     return max(1, regions)
 
 
-def content_layout(spans: DataFrame) -> DataFrame:
+def content_layout(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
     """media spans -> content-layout rows (column count, ink ratio) via
-    the same mapInPandas seam as the quality metrics: the raster is the
-    deterministic ``synth_raster`` stub, the layout analysis is the
-    reference ContentAnalyzer's real projection math
-    (``detect_columns_gray``). Handwriting / layout-complexity need
-    contour extraction (cv2.findContours) and stay behind the decode
-    seam until a real image stack is present."""
-    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
-    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    the same mapInPandas seam as the quality metrics: the raster comes
+    from the real PNG decode (or the fixture fallback — module
+    docstring), the layout analysis is the reference ContentAnalyzer's
+    real projection math (``detect_columns_gray``). Handwriting /
+    layout-complexity need contour extraction (cv2.findContours) and
+    stay behind the format seam until a real image stack is present."""
+    media = _media_base(spans, blobs)
 
     def layout_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -283,7 +342,7 @@ def content_layout(spans: DataFrame) -> DataFrame:
             outs = []
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                G = synth_rasters_batch(list(part["media_ref"]))
+                G = _rasters_for(part)
                 _B, hh, ww = G.shape
                 cols = detect_columns_batch(G)
                 dark = (G < 128).sum(axis=(1, 2))
@@ -296,32 +355,6 @@ def content_layout(spans: DataFrame) -> DataFrame:
                 yield pd.concat(outs)
 
     return media.mapInPandas(layout_batches, schema=LAYOUT_SCHEMA)
-
-
-def synth_rasters_batch(refs, h: int = QUALITY_GRID_H, w: int = QUALITY_GRID_W):
-    """Batch form of ``synth_raster``: one (B, h, w) int64 stack, the
-    per-ref hash parameters broadcast over a shared meshgrid. Pixel
-    values are integers computed with the identical formula, so the
-    stack equals np.stack([synth_raster(r) for r in refs]) exactly."""
-    import numpy as np
-
-    if len(refs) == 0:
-        return np.zeros((0, h, w), dtype=np.int64)
-    par = np.array(
-        [
-            [int(hashlib.sha256(r.encode()).hexdigest()[i * 2 : i * 2 + 2], 16) for i in range(6)]
-            for r in refs
-        ],
-        dtype=np.int64,
-    )
-    a, b, c, d, e, f = (par[:, i][:, None, None] for i in range(6))
-    a = a % 8
-    b = b % 8
-    c = c % 3
-    rng = 16 + e % 180
-    lo = f % (256 - rng)
-    y, x = np.mgrid[0:h, 0:w]
-    return lo + (a * x + b * y + c * x * y + d) % (rng + 1)
 
 
 def assess_quality_batch(G) -> dict:
@@ -387,19 +420,16 @@ def assess_quality_batch(G) -> dict:
     }
 
 
-def media_quality(spans: DataFrame) -> DataFrame:
+def media_quality(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
     """media spans -> per-image quality assessment via mapInPandas: the
-    fetch/decode is the deterministic ``synth_raster`` stub (no image
-    libs in this container), the METRICS over the pixels are the
+    bytes decode through the stdlib PNG reader (or the fixture fallback
+    — module docstring), the METRICS over the pixels are the
     reference's real math, vectorized across the whole Arrow batch
     (``assess_quality_batch``; ``assess_quality_gray`` is the
     per-image reference implementation the batch path is tested
     against). Same seam, salting and Arrow batch shape as
-    ``media_features``; swapping the stub for cv2.imdecode changes
-    nothing downstream."""
-    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
-    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    ``media_features``."""
+    media = _media_base(spans, blobs)
 
     def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # chunk the raster stack: the 25-tap median materializes
@@ -411,7 +441,7 @@ def media_quality(spans: DataFrame) -> DataFrame:
             outs = []
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                G = synth_rasters_batch(list(part["media_ref"]))
+                G = _rasters_for(part)
                 m = assess_quality_batch(G)
                 out = part[["doc_id", "media_ref", "offset"]].copy()
                 for k, v in m.items():
@@ -430,7 +460,7 @@ CONDITION_SCHEMA = (
 )
 
 
-def assess_media_full(spans: DataFrame) -> DataFrame:
+def assess_media_full(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
     """media spans -> quality metrics (QualityAssessor kernels) PLUS
     rotation/skew analysis (RotationDetector + SkewDetector pipelines,
     operators/orientation.py) in ONE Arrow stage: the raster decodes
@@ -439,9 +469,7 @@ def assess_media_full(spans: DataFrame) -> DataFrame:
     stages). Same salting and chunking as ``media_quality``."""
     from pdf2ontology_spark.operators import orientation
 
-    media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
-    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    media = _media_base(spans, blobs)
 
     def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 256
@@ -449,7 +477,7 @@ def assess_media_full(spans: DataFrame) -> DataFrame:
             outs = []
             for lo in range(0, len(pdf), chunk):
                 part = pdf.iloc[lo : lo + chunk]
-                G = synth_rasters_batch(list(part["media_ref"]))
+                G = _rasters_for(part)
                 out = part[["doc_id", "media_ref", "offset"]].copy()
                 for k, v in assess_quality_batch(G).items():
                     out[k] = v
@@ -481,7 +509,7 @@ def _apply_token(media_ref: str, actions: list[str]) -> str:
     return state
 
 
-def apply_actions(assessed: DataFrame) -> DataFrame:
+def apply_actions(assessed: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
     """Consume the condition stage's prioritized action plan — the
     preprocessing chain's apply pass (document_preprocessing_chain.py:
     227-261): actions run in plan order inside the Arrow-batched
@@ -498,6 +526,8 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
     cols = assessed.select(
         "doc_id", "offset", "media_ref", "actions", "skew_deg", "rotation_deg"
     )
+    if blobs is not None:
+        cols = cols.join(blobs.select("media_ref", "png"), "media_ref")
     n_part = cols.sparkSession.conf.get("spark.sql.shuffle.partitions")
     cols = cols.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
@@ -506,7 +536,7 @@ def apply_actions(assessed: DataFrame) -> DataFrame:
 
         for pdf in batches:
             acts = [list(a) for a in pdf["actions"]]
-            G = synth_rasters_batch(list(pdf["media_ref"]))
+            G = _rasters_for(pdf)
             n, h, w = G.shape
             n_px = h * w
             # Group rows by CHAIN SIGNATURE — the action tuple plus the

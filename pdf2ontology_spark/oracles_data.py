@@ -538,17 +538,64 @@ WITH {oracles.spans_cte(tag).lstrip()},{_cond_metrics()}
 SELECT action, CAST(n AS BIGINT) AS n FROM ({" UNION ALL ".join(parts)}) WHERE n > 0"""
 
 
-def media_features_sql(tag: str = "sf0.01") -> str:
-    h = "sha256(media_ref)"
+def _ahash_ctes(tag: str, h: int, w: int) -> str:
+    """Shared CTE chain ``spans -> params -> pix -> blk -> halves``:
+    the closed-form raster pattern evaluated per pixel, 2x2-block sums,
+    and the aHash bits packed into two 32-bit halves (1<<63 would
+    overflow signed BIGINT, so the 64-bit fingerprint is carried as
+    hi/lo words and hex-printed '%08x%08x' — identical text to numpy's
+    format(v, '016x'))."""
+    assert h % 8 == 0 and w % 8 == 0, f"aHash twin needs 8-divisible dims, got {h}x{w}"
+    by, bx = h // 8, w // 8
+    e = hexval("h", 9, 2)
     return f"""
-WITH {oracles.spans_cte(tag).lstrip()}
+WITH {oracles.spans_cte(tag).lstrip()},
+params AS MATERIALIZED (
+  SELECT doc_id, media_ref, off,
+    {hexval("h", 1, 2)} % 8 AS a, {hexval("h", 3, 2)} % 8 AS b,
+    {hexval("h", 5, 2)} % 3 AS c, {hexval("h", 7, 2)} AS d,
+    16 + {e} % 180 AS rng,
+    {hexval("h", 11, 2)} % (256 - (16 + {e} % 180)) AS lo
+  FROM (SELECT doc_id, media_ref, off, sha256(media_ref) AS h
+        FROM spans WHERE kind = 'media')),
+pix AS (
+  SELECT doc_id, media_ref, off,
+    (lo + (a*x + b*y + c*x*y + d) % (rng + 1)) AS v,
+    (y // {by}) * 8 + (x // {bx}) AS i
+  FROM params, range(0, {h}) yy(y), range(0, {w}) xx(x)),
+blk AS (
+  SELECT doc_id, media_ref, off, i, sum(v) AS bsum,
+    sum(sum(v)) OVER (PARTITION BY doc_id, media_ref, off) AS total
+  FROM pix GROUP BY doc_id, media_ref, off, i),
+halves AS (
+  SELECT doc_id, media_ref, off,
+    sum(CASE WHEN i < 32 AND bsum * 64 > total THEN 1 << (31 - i) ELSE 0 END) AS hi_w,
+    sum(CASE WHEN i >= 32 AND bsum * 64 > total THEN 1 << (63 - i) ELSE 0 END) AS lo_w
+  FROM blk GROUP BY doc_id, media_ref, off)"""
+
+
+def media_features_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
+    """Independent DuckDB twin of media.media_features over the REAL
+    decode path: width/height are what the PNG header carries (the
+    corpus raster dims), format is the magic-byte sniff result ('png' —
+    the store is all PNG by construction), decode_ok is the parse
+    verdict (all blobs in the store parse), and phash is the aHash
+    perceptual fingerprint recomputed analytically from the closed-form
+    pixel pattern (the Spark side computes it from pixels DECODED out of
+    the genuine PNG bytes — the two meet only if chunk parse, inflate,
+    defilter and the bit packing are all correct)."""
+    from pdf2ontology_spark.operators.media import QUALITY_GRID_H, QUALITY_GRID_W
+
+    h = QUALITY_GRID_H if h is None else h
+    w = QUALITY_GRID_W if w is None else w
+    return f"""
+{_ahash_ctes(tag, h, w)}
 SELECT doc_id, media_ref, off AS "offset",
-  CAST(64 + {hexval(h, 1, 4)} % 4032 AS INTEGER) AS width,
-  CAST(64 + {hexval(h, 5, 4)} % 3024 AS INTEGER) AS height,
-  CASE {hexval(h, 9, 2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'tiff' END AS format,
-  substr({h}, 1, 16) AS phash,
+  CAST({w} AS INTEGER) AS width, CAST({h} AS INTEGER) AS height,
+  'png' AS format,
+  printf('%08x%08x', CAST(hi_w AS BIGINT), CAST(lo_w AS BIGINT)) AS phash,
   CAST(1 AS BOOLEAN) AS decode_ok
-FROM spans WHERE kind = 'media'"""
+FROM halves"""
 
 
 def media_quality_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
@@ -854,20 +901,21 @@ SELECT doc_id, off AS "offset", media_ref,
 FROM decided"""
 
 
-def media_stats_sql(tag: str = "sf0.01") -> str:
+def media_stats_sql(tag: str = "sf0.01", h: int | None = None, w: int | None = None) -> str:
+    """Twin of media.media_stats over the real-decode features: every
+    blob in the store parses (n_ok = n_media), dims are the PNG header's
+    (uniform corpus raster), one format. The Spark side derives the
+    same numbers from the actual per-blob decode verdicts."""
+    from pdf2ontology_spark.operators.media import QUALITY_GRID_H, QUALITY_GRID_W
+
+    h = QUALITY_GRID_H if h is None else h
+    w = QUALITY_GRID_W if w is None else w
     return f"""
-WITH {oracles.spans_cte(tag).lstrip()},
-feats AS (
-  SELECT doc_id,
-    64 + {hexval("sha256(media_ref)", 1, 4)} % 4032 AS width,
-    64 + {hexval("sha256(media_ref)", 5, 4)} % 3024 AS height,
-    CASE {hexval("sha256(media_ref)", 9, 2)} % 3
-      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'tiff' END AS format
-  FROM spans WHERE kind = 'media')
+WITH {oracles.spans_cte(tag).lstrip()}
 SELECT doc_id, count(*) AS n_media, count(*) AS n_ok,
-  round(avg(CAST(width AS DOUBLE) * height), 2) AS avg_pixels,
-  CAST(count(DISTINCT format) AS BIGINT) AS n_formats
-FROM feats GROUP BY doc_id"""
+  round(avg(CAST({w} AS DOUBLE) * {h}), 2) AS avg_pixels,
+  CAST(1 AS BIGINT) AS n_formats
+FROM spans WHERE kind = 'media' GROUP BY doc_id"""
 
 
 # ------------------------------------------------- grid reconstruction
@@ -1094,6 +1142,10 @@ def preprocessed_media_sql(tag: str = "sf0.01", h: int | None = None, w: int | N
 
     h = QUALITY_GRID_H if h is None else h
     w = QUALITY_GRID_W if w is None else w
+    # the 90/270 rotate expressions below index a flat pixel list with w
+    # as BOTH row strides — only the correct transpose when h == w
+    # (mirrors the assert in imaging.rotate_exact)
+    assert h == w, f"rotate twin needs square raster, got {h}x{w}"
     n = h * w
     plan_list = """list_filter([
       CASE WHEN a_rotate THEN 'rotate' END,

@@ -1,0 +1,215 @@
+"""Minimal stdlib PNG codec (zlib + struct + numpy) — the real
+byte-level encode/decode pair behind the media pipeline's decode seam.
+
+The container has no PIL/cv2, so the engine carries its own reader for
+the one format the synthetic corpus emits: 8-bit grayscale, non-
+interlaced PNG (the reference decodes arbitrary formats with
+cv2.imdecode — /root/reference/src/loader.py:18-33,
+src/utils/image_utils.py:567-604; this codec replaces the previous
+hash-derived raster STUB with genuine encoded bytes while the numpy
+kernels downstream stay unchanged).
+
+Writer: one IHDR / IDAT / IEND chunk stream with correct CRCs; per-row
+filter selection uses the classic minimum-sum-of-absolute-differences
+heuristic over all five filter types (None/Sub/Up/Average/Paeth), so
+encoded corpora genuinely exercise every defilter path in the reader.
+
+Reader: validates the signature, parses chunks with CRC checking,
+concatenates IDAT, inflates, and undoes filters 0-4 row by row
+(vectorized where the recurrence allows: Up is a plain column add; Sub/
+Average/Paeth carry a left-neighbor recurrence and run per-row in C
+via numpy cumulative ops where possible, else a tight per-pixel loop on
+a 16-wide row — trivial at our raster size, still correct at any).
+
+Scale note: decode runs INSIDE Arrow-batched mapInPandas stages —
+per-image cost is independent of corpus size and the bytes never
+transit a shuffle (they arrive via a co-partitioned join on media_ref).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+COLOR_GRAY = 0
+
+
+class PngFormatError(ValueError):
+    """Raised for malformed/unsupported PNG byte streams."""
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int arrays (spec: nearest of a=left, b=up,
+    c=up-left to p = a + b - c, ties a > b > c)."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _filter_rows(img: np.ndarray) -> bytes:
+    """Apply the spec's five filters per row, pick min-SAD, emit
+    filter-byte + filtered row. ``img`` is (h, w) uint8."""
+    h, w = img.shape
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
+        left = np.concatenate(([0], row[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        cands = (
+            row,  # 0 None
+            (row - left) & 0xFF,  # 1 Sub
+            (row - prev) & 0xFF,  # 2 Up
+            (row - (left + prev) // 2) & 0xFF,  # 3 Average
+            (row - _paeth(left, prev, upleft)) & 0xFF,  # 4 Paeth
+        )
+        # min sum of absolute differences, bytes as signed (spec heuristic)
+        sads = [int(np.abs(((c + 128) & 0xFF) - 128).sum()) for c in cands]
+        f = int(np.argmin(sads))
+        out.append(f)
+        out += cands[f].astype(np.uint8).tobytes()
+        prev = row
+    return bytes(out)
+
+
+def encode_png_gray(img) -> bytes:
+    """(h, w) integer array in [0, 255] -> 8-bit grayscale PNG bytes."""
+    arr = np.asarray(img)
+    if arr.ndim != 2:
+        raise PngFormatError(f"expected 2-D grayscale array, got shape {arr.shape}")
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise PngFormatError("pixel values outside [0, 255]")
+    arr = arr.astype(np.uint8)
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, COLOR_GRAY, 0, 0, 0)
+    idat = zlib.compress(_filter_rows(arr), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _parse_chunks(data: bytes):
+    if data[:8] != PNG_SIG:
+        raise PngFormatError("bad PNG signature")
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise PngFormatError(f"truncated chunk {tag!r}")
+        payload = data[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", data, end)
+        if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise PngFormatError(f"CRC mismatch in chunk {tag!r}")
+        yield tag, payload
+        pos = end + 4
+        if tag == b"IEND":
+            return
+    raise PngFormatError("missing IEND chunk")
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) int64 pixel array.
+
+    Supports the profile the pipeline stores: 8-bit grayscale (color
+    type 0), non-interlaced. Anything else raises ``PngFormatError`` —
+    the quarantine path's job, not a silent fallback."""
+    ihdr = None
+    idat = bytearray()
+    for tag, payload in _parse_chunks(bytes(data)):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+    if ihdr is None:
+        raise PngFormatError("missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != COLOR_GRAY:
+        raise PngFormatError(f"unsupported PNG profile: depth={depth} color={color}")
+    if comp != 0 or filt != 0:
+        raise PngFormatError("unsupported compression/filter method")
+    if interlace != 0:
+        raise PngFormatError("Adam7 interlacing not supported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngFormatError(f"IDAT inflate failed: {e}") from None
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise PngFormatError(f"IDAT size {len(raw)} != expected {h * stride}")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = scan[:, 0]
+    rows = scan[:, 1:].astype(np.int64)
+    if not filters.any():
+        return rows  # fast path: all rows filter 0 (None)
+    out = np.empty((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        if f == 0:
+            cur = r
+        elif f == 2:  # Up
+            cur = (r + prev) & 0xFF
+        elif f == 1:  # Sub: left-recurrence
+            cur = r.copy()
+            for x in range(1, w):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+        elif f == 3:  # Average
+            cur = r.copy()
+            cur[0] = (cur[0] + prev[0] // 2) & 0xFF
+            for x in range(1, w):
+                cur[x] = (cur[x] + (cur[x - 1] + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = r.copy()
+            cur[0] = (cur[0] + prev[0]) & 0xFF  # a=c=0 -> predictor is b unless 0 closer; p=b => Pr=b
+            for x in range(1, w):
+                a, b, c = cur[x - 1], prev[x], prev[x - 1]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise PngFormatError(f"unknown filter type {f} in row {y}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def read_png_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from IHDR without
+    inflating pixel data — the cheap metadata probe."""
+    for tag, payload in _parse_chunks(bytes(data)):
+        if tag == b"IHDR":
+            w, h, depth, color, _c, _f, _i = struct.unpack(">IIBBBBB", payload)
+            return w, h, depth, color
+        break  # spec: IHDR must be first
+    raise PngFormatError("missing IHDR chunk")
+
+
+def decode_png_gray_batch(blobs) -> np.ndarray:
+    """list[bytes] -> (B, h, w) int64 stack; all images must share one
+    shape (the batch kernels operate on a uniform stack — mixed shapes
+    are grouped by the caller, like apply_actions' signature groups)."""
+    if len(blobs) == 0:
+        return np.zeros((0, 0, 0), dtype=np.int64)
+    imgs = [decode_png_gray(b) for b in blobs]
+    shapes = {im.shape for im in imgs}
+    if len(shapes) != 1:
+        raise PngFormatError(f"mixed raster shapes in one batch: {sorted(shapes)}")
+    return np.stack(imgs)

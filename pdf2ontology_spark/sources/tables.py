@@ -207,6 +207,14 @@ def load_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(synth.ensure_detections(sf_dir)["contours"])
 
 
+def load_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus blob store: (media_ref, png) with REAL PNG-encoded
+    bytes (synth.ensure_blobs). At deployment scale this table is
+    bucketed by media_ref so the media operators' blob join is
+    co-located — the bytes never transit a shuffle."""
+    return spark.read.parquet(synth.ensure_blobs(sf_dir)["media_blobs"])
+
+
 def load_golden_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = synth.ensure_synth(sf_dir)
     return spark.read.parquet(paths["golden_triples"])
@@ -222,8 +230,40 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).option("parquet.block.size", 16 * 1024 * 1024).parquet(path)
 
 
+_MERGE_META = "_merge_meta.json"
+
+
+def _write_merge_meta(table_dir: str, commit_meta: dict | None) -> None:
+    if commit_meta is not None:
+        import json
+
+        with open(os.path.join(table_dir, _MERGE_META), "w") as f:
+            json.dump(commit_meta, f)
+
+
+def merge_meta(path: str) -> dict | None:
+    """The ``commit_meta`` recorded by the last committed
+    ``merge_upsert`` on this table (None if none was ever attached).
+    Because the meta file is written into the merge's staging directory
+    BEFORE the commit renames, it travels atomically with the data —
+    the foundation of foreachBatch replay idempotence
+    (streaming/incremental.py stream_graph_upsert)."""
+    import json
+
+    _recover_merge(path)
+    p = os.path.join(path, _MERGE_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    commit_meta: dict | None = None,
 ) -> None:
     """Keyed upsert — the Iceberg ``MERGE INTO`` analog for the parquet
     sandbox: rows matching on ``key_cols`` are replaced by the update,
@@ -249,18 +289,29 @@ def merge_upsert(
             f"MERGE INTO {path} t USING _merge_updates s ON {on} "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+        # on Iceberg the snapshot commit is the transaction; replay
+        # markers belong in snapshot summary properties there (the
+        # parquet-sandbox meta file is not transactional post-MERGE)
         return
     tmp = path.rstrip("/") + "._merge_tmp"
     old = path.rstrip("/") + "._merge_old"
     _recover_merge(path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        updates.write.mode("overwrite").parquet(path)
+        # fresh table: stage + rename too, so ``commit_meta`` (and the
+        # data) appear atomically — a crash right after a bare
+        # overwrite-in-place would otherwise leave data without its
+        # marker and a replayed batch would double-apply
+        updates.write.mode("overwrite").parquet(tmp)
+        _write_merge_meta(tmp, commit_meta)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
         return
     existing = spark.read.parquet(path)
     merged = existing.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
         updates
     )
     merged.write.mode("overwrite").parquet(tmp)
+    _write_merge_meta(tmp, commit_meta)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -145,47 +145,87 @@ def stream_graph_upsert(
     keys, not the accumulated graph; the stage tables are
     entity/edge-cardinality (orders of magnitude under the triple
     stream); on Iceberg the upsert is a transactional MERGE INTO.
+
+    Replay-idempotent: see ``graph_batch_handler``.
     """
-    import os
-
-    from pdf2ontology_spark.operators import graph
-    from pdf2ontology_spark.sources import tables
-
     docs = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
-    surf_path = os.path.join(out_base, "surfaces")
-    edge_path = os.path.join(out_base, "edge_aggs")
-
-    def _merge_stage(path, new_rows, keys, combine):
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            tables.merge_upsert(spark, path, new_rows, keys)
-            return
-        existing = tables.read_merged(spark, path)
-        touched = existing.join(new_rows.select(*keys).distinct(), keys, "leftsemi")
-        tables.merge_upsert(spark, path, combine(touched, new_rows), keys)
-
-    def process_batch(batch_df, _batch_id: int) -> None:
-        # the extraction output feeds both stage updates: checkpoint it
-        # so the fused plan runs once per micro-batch, not per stage
-        trips = triples.all_triples_fused(batch_df).localCheckpoint(eager=True)
-        _merge_stage(
-            surf_path,
-            graph.per_surface(trips),
-            ["name", "entity_type"],
-            graph.combine_surfaces,
-        )
-        _merge_stage(
-            edge_path,
-            graph.edge_aggs(trips),
-            ["subject_id", "predicate", "object_id"],
-            graph.combine_edge_aggs,
-        )
-
+    process_batch = graph_batch_handler(spark, out_base, checkpoint_dir)
     writer = docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def graph_batch_handler(spark: SparkSession, out_base: str, checkpoint_dir: str):
+    """The foreachBatch handler behind ``stream_graph_upsert``, exposed
+    so replay semantics are directly testable.
+
+    foreachBatch is AT-LEAST-ONCE: after a crash between the surfaces
+    merge and the streaming commit log, the same (batch_id, data) is
+    delivered again — and the counts-summing combine would double-add.
+    Each stage therefore records ``(checkpoint, batch_id)`` via
+    ``merge_upsert``'s ``commit_meta`` (written into the merge's staging
+    dir, so it commits atomically with the data) and a replayed batch
+    whose id is <= the stage's recorded id is a no-op FOR THAT STAGE —
+    a crash between the two stage merges replays into "skip surfaces,
+    apply edge_aggs", exactly completing the interrupted batch. The
+    checkpoint identity guards the other direction: a FRESH stream
+    (batch ids restart at 0) pointed at an existing out_base must not
+    skip its early batches on the old stream's high-water mark."""
+    import os
+
+    from pdf2ontology_spark.operators import graph
+    from pdf2ontology_spark.sources import tables
+
+    surf_path = os.path.join(out_base, "surfaces")
+    edge_path = os.path.join(out_base, "edge_aggs")
+
+    def _applied(path, batch_id: int) -> bool:
+        meta = tables.merge_meta(path)
+        return (
+            meta is not None
+            and meta.get("checkpoint") == checkpoint_dir
+            and meta.get("batch_id") is not None
+            and batch_id <= meta["batch_id"]
+        )
+
+    def _merge_stage(path, new_rows, keys, combine, meta):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            tables.merge_upsert(spark, path, new_rows, keys, commit_meta=meta)
+            return
+        existing = tables.read_merged(spark, path)
+        touched = existing.join(new_rows.select(*keys).distinct(), keys, "leftsemi")
+        tables.merge_upsert(spark, path, combine(touched, new_rows), keys, commit_meta=meta)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        need_surf = not _applied(surf_path, batch_id)
+        need_edge = not _applied(edge_path, batch_id)
+        if not (need_surf or need_edge):
+            return
+        meta = {"checkpoint": checkpoint_dir, "batch_id": batch_id}
+        # the extraction output feeds both stage updates: checkpoint it
+        # so the fused plan runs once per micro-batch, not per stage
+        trips = triples.all_triples_fused(batch_df).localCheckpoint(eager=True)
+        if need_surf:
+            _merge_stage(
+                surf_path,
+                graph.per_surface(trips),
+                ["name", "entity_type"],
+                graph.combine_surfaces,
+                meta,
+            )
+        if need_edge:
+            _merge_stage(
+                edge_path,
+                graph.edge_aggs(trips),
+                ["subject_id", "predicate", "object_id"],
+                graph.combine_edge_aggs,
+                meta,
+            )
+
+    return process_batch
 
 
 def read_stream_nodes(spark: SparkSession, out_base: str):

@@ -635,3 +635,91 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
     with open(meta_path, "w") as f:
         json.dump(want_meta, f)
     return paths
+
+
+# --------------------------------------------------------------- F6:
+# the corpus BLOB STORE — real PNG-encoded bytes for every media span.
+# The pixels are the closed-form fixture pattern (raster.synth_raster,
+# shared with the DuckDB twins); the BYTES are a genuine encode
+# (png_codec: filter heuristic over all five row filters, zlib, CRCs),
+# so the engine's media operators exercise a real byte->pixel decode —
+# the path the reference runs through cv2.imdecode
+# (/root/reference/src/loader.py:18-33). Bench tags (sfxl/sfxxl/sfb)
+# intentionally have NO blob store: throughput corpora use the
+# operators' documented closed-form fallback instead of materializing
+# millions of blobs.
+BLOB_VERSION = 1
+_BLOB_CHUNK = 4000
+
+
+def _encode_blob_chunk(refs: list) -> list:
+    from pdf2ontology_spark import png_codec, raster
+
+    return [png_codec.encode_png_gray(raster.synth_raster(r)) for r in refs]
+
+
+def _media_refs_from_parquet(spans_path: str) -> list:
+    """Distinct media_refs of a documents_spans parquet, in first-seen
+    corpus order (refs are unique by construction — media://doc/off —
+    so this is a streaming flatten+filter, no global sort)."""
+    import pyarrow.compute as pc
+
+    refs: list = []
+    pf = pq.ParquetFile(spans_path)
+    for batch in pf.iter_batches(columns=["spans"]):
+        flat = batch.column(0).flatten()  # list<struct> -> struct rows
+        mask = pc.equal(flat.field("kind"), "media")
+        refs.extend(pc.filter(flat.field("media_ref"), mask).to_pylist())
+    return refs
+
+
+def ensure_blobs(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEFAULT_SEED) -> dict:
+    """Generate (once, cached) ``media_blobs.parquet`` —
+    ``(media_ref string, png binary)`` — for a correctness-scale tag.
+    Encoding runs in parallel worker processes (pure function of the
+    ref, so chunk order is the only order dependency)."""
+    tag = os.path.basename(tag_or_sf_dir.rstrip("/"))
+    if tag in BENCH_TAGS:
+        raise ValueError(
+            f"no blob store for bench tag {tag!r}: throughput corpora use "
+            "the media operators' closed-form raster fallback"
+        )
+    spans_path = ensure_synth(tag_or_sf_dir, base_dir, seed)["documents_spans"]
+    out = os.path.join(base_dir, tag)
+    paths = {"media_blobs": os.path.join(out, "media_blobs.parquet")}
+    meta_path = os.path.join(out, "_meta_blobs.json")
+    want = {"version": BLOB_VERSION, "n_docs": N_DOCS.get(tag, 200), "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == want and os.path.exists(paths["media_blobs"]):
+                return paths
+
+    refs = _media_refs_from_parquet(spans_path)
+    schema = pa.schema([("media_ref", pa.string()), ("png", pa.binary())])
+    chunks = [refs[i : i + _BLOB_CHUNK] for i in range(0, len(refs), _BLOB_CHUNK)]
+    writer = pq.ParquetWriter(paths["media_blobs"], schema)
+    try:
+        if len(chunks) <= 1:
+            encoded = map(_encode_blob_chunk, chunks)
+        else:
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4))
+            encoded = pool.map(_encode_blob_chunk, chunks, chunksize=1)
+        for chunk, blobs in zip(chunks, encoded):
+            writer.write_table(
+                pa.table(
+                    {
+                        "media_ref": pa.array(chunk, pa.string()),
+                        "png": pa.array(blobs, pa.binary()),
+                    }
+                ),
+                row_group_size=ROW_GROUP_ROWS,
+            )
+    finally:
+        writer.close()
+        if len(chunks) > 1:
+            pool.shutdown()
+    with open(meta_path, "w") as f:
+        json.dump(want, f)
+    return paths

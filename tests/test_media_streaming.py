@@ -1,27 +1,66 @@
-"""Media plumbing (mapInPandas stub decode) + streaming micro-batch
+"""Media plumbing (mapInPandas real PNG decode) + streaming micro-batch
 equivalence with the batch pipeline."""
 
 import time
 
+from pyspark.sql import functions as F
+
+from pdf2ontology_spark import png_codec, raster
 from pdf2ontology_spark.operators import media, segment, tabulate, triples
 from pdf2ontology_spark.sources import tables
 from pdf2ontology_spark.streaming.incremental import stream_triples
 
 
-def test_media_features_deterministic_stub(spark):
+def test_media_features_real_decode(spark):
     docs = tables.load_documents_spans(spark, "/root/testdata/sf0.001")
     spans = segment.explode_spans(docs)
-    feats = media.media_features(spans).cache()
+    blobs = tables.load_media_blobs(spark, "/root/testdata/sf0.001")
+    feats = media.media_features(spans, blobs).cache()
     n_media = spans.filter("kind = 'media'").count()
     assert feats.count() == n_media
+    assert feats.filter("NOT decode_ok").count() == 0
     r = feats.orderBy("doc_id", "offset").first()
-    # stub is sha256-derived: re-running gives identical values
-    r2 = media.media_features(spans).orderBy("doc_id", "offset").first()
+    # dims/format come from the actual PNG header, phash from the
+    # decoded pixels — identical across runs (deterministic store)
+    r2 = media.media_features(spans, blobs).orderBy("doc_id", "offset").first()
     assert r == r2
-    assert 64 <= r.width < 64 + 4032 and 64 <= r.height < 64 + 3024
-    assert r.format in ("png", "jpeg", "tiff") and len(r.phash) == 16
+    assert (r.width, r.height, r.format) == (raster.GRID_W, raster.GRID_H, "png")
+    assert r.phash == media.ahash_batch(raster.synth_raster(r.media_ref)[None])[0]
     stats = media.media_stats(feats)
     assert stats.count() == spans.filter("kind='media'").select("doc_id").distinct().count()
+
+
+def test_media_features_corrupt_blob_quarantined(spark):
+    """Per-item tolerance (F11): a corrupt blob yields decode_ok=false
+    with zeroed metadata instead of failing the Arrow stage."""
+    good = png_codec.encode_png_gray(raster.synth_raster("media://d1/0.png"))
+    rows = [
+        ("d1", "media", "", "media://d1/0.png", 0),
+        ("d1", "media", "", "media://d1/1.png", 1),
+    ]
+    spans = spark.createDataFrame(rows, "doc_id string, kind string, text string, media_ref string, offset int")
+    blobs = spark.createDataFrame(
+        [("media://d1/0.png", bytearray(good)), ("media://d1/1.png", bytearray(b"NOTAPNG" + good))],
+        "media_ref string, png binary",
+    )
+    out = {r.media_ref: r for r in media.media_features(spans, blobs).collect()}
+    assert out["media://d1/0.png"].decode_ok
+    bad = out["media://d1/1.png"]
+    assert not bad.decode_ok and bad.width == 0 and bad.phash == ""
+    stats = media.media_stats(media.media_features(spans, blobs)).first()
+    assert (stats.n_media, stats.n_ok) == (2, 1)
+
+
+def test_media_quality_blobs_match_fixture_path(spark):
+    """The decoded-bytes path and the closed-form fallback produce
+    identical metric rows — the identity the DuckDB twins rest on."""
+    docs = tables.load_documents_spans(spark, "/root/testdata/sf0.001")
+    spans = segment.explode_spans(docs).filter(F.col("kind") == "media").limit(200)
+    blobs = tables.load_media_blobs(spark, "/root/testdata/sf0.001")
+    with_bytes = media.media_quality(spans, blobs)
+    fixture = media.media_quality(spans)
+    assert with_bytes.exceptAll(fixture).count() == 0
+    assert fixture.exceptAll(with_bytes).count() == 0
 
 
 def test_stream_matches_batch(spark, tmp_path):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pdf2ontology_spark.operators import graph, triples
 from pdf2ontology_spark.sources import tables
 from pdf2ontology_spark.streaming.incremental import (
+    graph_batch_handler,
     read_stream_edges,
     read_stream_nodes,
     stream_graph_upsert,
@@ -53,3 +54,43 @@ def test_stream_graph_three_chunks_matches_batch(spark, tmp_path):
     q = stream_graph_upsert(spark, in_dir, out_base, ckpt, available_now=True)
     q.awaitTermination(120)
     assert read_stream_nodes(spark, out_base).count() == n_nodes
+
+
+def test_graph_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME (batch_id,
+    data) twice — the post-crash replay — must not double-add counts;
+    a NEW batch id with the same data must (it is genuinely new data)."""
+    docs = tables.load_documents_spans(spark, SF).cache()
+    part = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0).cache()
+    out_base = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ck")
+    handler = graph_batch_handler(spark, out_base, ckpt)
+
+    handler(part, 0)
+    first = {
+        r.entity_id: r.mention_count
+        for r in read_stream_nodes(spark, out_base).collect()
+    }
+
+    handler(part, 0)  # exact replay -> no-op
+    assert {
+        r.entity_id: r.mention_count
+        for r in read_stream_nodes(spark, out_base).collect()
+    } == first
+
+    handler(part, 1)  # same rows, NEW batch -> counts must grow
+    doubled = {
+        r.entity_id: r.mention_count
+        for r in read_stream_nodes(spark, out_base).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in first.items()}
+
+    # a fresh stream (different checkpoint, ids restart) must APPLY its
+    # batch 0 even though the stage high-water mark is already 1
+    other = graph_batch_handler(spark, out_base, str(tmp_path / "ck2"))
+    other(part, 0)
+    tripled = {
+        r.entity_id: r.mention_count
+        for r in read_stream_nodes(spark, out_base).collect()
+    }
+    assert tripled == {k: 3 * v for k, v in first.items()}

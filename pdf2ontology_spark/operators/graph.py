@@ -400,6 +400,82 @@ def nodes_with_class(nodes_df: DataFrame) -> DataFrame:
     return nodes_df.join(F.broadcast(dim), "entity_type", "left")
 
 
+def graph_stats(
+    triples: DataFrame, nodes_df: DataFrame, edges_df: DataFrame
+) -> DataFrame:
+    """The ``KnowledgeGraph.statistics`` / ``quality_metrics`` rollup
+    (knowledge_models.py:190-198 — declared dicts the reference never
+    fills) materialized as one (stat, value) key/value table:
+    triple/entity/edge/predicate/doc counts, confidence
+    mean (floor-1e-4, the established float-compare contract) and max,
+    per-extraction-method triple counts (``n_method_<m>``), and the
+    relation-derived fraction — entities that appear ONLY as objects,
+    the exact set the reference auto-creates with entity_type=other
+    (triplet_extractor.py:282-314).
+
+    Scale shape: every branch is a tiny aggregate over the checkpointed
+    triples stage or the already-derived node/edge tables — no corpus
+    rescans, each union leg collapses to a handful of rows."""
+    f4 = lambda c: F.floor(c * 10000.0) / 10000.0  # noqa: E731
+
+    def kv(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("stat").cast("string"), F.col("value").cast("double")
+        )
+
+    t = triples.agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("predicate").alias("n_predicates"),
+        f4(F.avg("confidence")).alias("mean_confidence"),
+        F.max("confidence").alias("max_confidence"),
+    )
+    t_kv = kv(
+        t.selectExpr(
+            "stack(5, 'n_triples', double(n_triples), 'n_docs', double(n_docs), "
+            "'n_predicates', double(n_predicates), "
+            "'mean_confidence', mean_confidence, "
+            "'max_confidence', max_confidence) AS (stat, value)"
+        )
+    )
+    methods = kv(
+        triples.groupBy("extraction_method")
+        .count()
+        .select(
+            F.concat(F.lit("n_method_"), "extraction_method").alias("stat"),
+            F.col("count").alias("value"),
+        )
+    )
+    subj = triples.select(
+        F.col("subj_name").alias("name"), F.col("subj_type").alias("entity_type")
+    ).distinct()
+    obj = triples.select(
+        F.col("obj_name").alias("name"), F.col("obj_type").alias("entity_type")
+    ).distinct()
+    auto = kv(
+        obj.join(subj, ["name", "entity_type"], "left_anti")
+        .agg(F.count("*").alias("n_obj_only"))
+        .crossJoin(obj.unionByName(subj).distinct().agg(F.count("*").alias("n_ent")))
+        .select(
+            F.lit("auto_created_fraction").alias("stat"),
+            f4(F.col("n_obj_only") / F.col("n_ent")).alias("value"),
+        )
+    )
+    n_nodes = kv(
+        nodes_df.agg(F.count("*").alias("value")).select(
+            F.lit("n_entities").alias("stat"), "value"
+        )
+    )
+    n_edges = kv(
+        edges_df.agg(F.count("*").alias("value")).select(
+            F.lit("n_edges").alias("stat"), "value"
+        )
+    )
+    return t_kv.unionByName(methods).unionByName(auto).unionByName(n_nodes).unionByName(
+        n_edges
+    )
+
+
 def integrity_violations(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:
     """Prompt-contract invariant (triplet_extractor.py:205-209): every
     edge endpoint exists in nodes. Returns the violating endpoint ids

@@ -80,6 +80,7 @@ def stream_windowed_doc_stats(
     window_duration: str = "10 seconds",
     watermark_delay: str = "30 seconds",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Event-time windowed ingest statistics with a WATERMARK for late
     data — the windowed-aggregation shape a continuous ingest pipeline
@@ -96,8 +97,15 @@ def stream_windowed_doc_stats(
     micro-batch uses is the one established by the PREVIOUS batch, so
     emission lags arrival by one batch (standard Structured Streaming
     behavior; tests/test_media_streaming.py demonstrates both the
-    one-shot emission and the late-row drop)."""
-    docs = spark.readStream.schema(TIMED_DOCUMENTS).parquet(input_dir)
+    one-shot emission and the late-row drop).
+
+    ``max_files_per_trigger`` splits an availableNow drain into one
+    batch per N files — the knob the driver-oracle harness uses to
+    stage watermark advancement deterministically."""
+    reader = spark.readStream.schema(TIMED_DOCUMENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
     agg = (
         docs.withWatermark("ingest_ts", watermark_delay)
         .groupBy(F.window("ingest_ts", window_duration).alias("w"))
@@ -254,6 +262,29 @@ def read_stream_edges(spark: SparkSession, out_base: str):
     )
 
 
+def content_hash_col() -> "F.Column":
+    """Canonical document content hash: md5 over a field-delimited
+    serialization of the span list (US/RS separators, null-safe). Used
+    by the streaming dedup state key; the serialization is closed-form
+    so the DuckDB twin recomputes the identical hash
+    (md5 agrees across both engines, operators/dedup.py:4-6)."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "\x1f",
+                    F.coalesce(s["kind"], F.lit("")),
+                    F.coalesce(s["text"], F.lit("")),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                    F.coalesce(s["offset"].cast("string"), F.lit("")),
+                ),
+            ),
+            "\x1e",
+        )
+    )
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     input_dir: str,
@@ -277,9 +308,9 @@ def stream_dedup_first_seen(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     docs = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
-    hashed = docs.select(
-        "doc_id", F.md5(F.to_json(F.struct("spans"))).alias("content_hash")
-    ).withColumn("bucket", F.substring("content_hash", 1, 2))
+    hashed = docs.select("doc_id", content_hash_col().alias("content_hash")).withColumn(
+        "bucket", F.substring("content_hash", 1, 2)
+    )
 
     def first_seen(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()

@@ -88,3 +88,31 @@ def test_ontology_classes_and_node_class_join(spark):
     assert n["Ventil"].external_ids["urn"] == n["Ventil"].uri
     e = graph.edges(t).collect()[0]
     assert e.negated is False and e.modality is None
+
+
+def test_graph_stats_rollup(spark):
+    """KnowledgeGraph.statistics/quality_metrics KV rollup: counts,
+    confidence stats, per-method counts, relation-derived fraction."""
+    t = _triples(
+        spark,
+        [
+            ("d1", None, "A", "product", "contains", "B", "product", 0.8, "s", "m1"),
+            ("d1", None, "A", "product", "contains", "C", "product", 0.6, "s", "m1"),
+            ("d2", None, "B", "product", "has", "5 bar", "numeric", 0.9, "s", "m2"),
+        ],
+    )
+    stats = {
+        r.stat: r.value
+        for r in graph.graph_stats(t, graph.nodes(t), graph.edges(t)).collect()
+    }
+    assert stats["n_triples"] == 3.0
+    assert stats["n_docs"] == 2.0
+    assert stats["n_predicates"] == 2.0
+    assert stats["n_method_m1"] == 2.0 and stats["n_method_m2"] == 1.0
+    assert stats["max_confidence"] == 0.9
+    # mean = 2.3/3 floored at 1e-4
+    assert stats["mean_confidence"] == 0.7666
+    # entities: A B C "5 bar" -> 4 nodes; C and "5 bar" never subjects
+    assert stats["n_entities"] == 4.0
+    assert stats["auto_created_fraction"] == 0.5
+    assert stats["n_edges"] == 3.0

@@ -240,36 +240,52 @@ def edge_aggs(triples: DataFrame) -> DataFrame:
     join-many); weight = co-occurrence count (Relation.weight semantics,
     knowledge_models.py:77-81); confidence = max over merged triples.
     """
-    dim = surface_ids(triples)
-    subj_dim = dim.select(
-        F.col("name").alias("subj_name"),
-        F.col("entity_type").alias("subj_type"),
-        F.col("entity_id").alias("subject_id"),
-    )
-    obj_dim = dim.select(
-        F.col("name").alias("obj_name"),
-        F.col("entity_type").alias("obj_type"),
-        F.col("entity_id").alias("object_id"),
-    )
-    e = (
-        triples.join(subj_dim, ["subj_name", "subj_type"])
-        .join(obj_dim, ["obj_name", "obj_type"])
-        .select(
-            "subject_id",
-            "predicate",
-            "object_id",
-            "confidence",
-            "source_sentence",
-            "extraction_method",
-        )
-    )
-    return e.groupBy("subject_id", "predicate", "object_id").agg(
+    # PHASE 1 — aggregate on the RAW surface keys: the fact-stream
+    # shuffle carries names/predicate (tens of bytes), not two 64-char
+    # sha2 hex ids (128 bytes/row); the id dimension is probed AFTER the
+    # collapse, on edge-cardinality rows instead of per triple. This was
+    # a measured 1.38-1.58x CPU-seconds inflation lever at rising thread
+    # counts — the aggregation is DRAM-bound and row width is the knob.
+    by_surface = triples.groupBy(
+        "subj_name", "subj_type", "predicate", "obj_name", "obj_type"
+    ).agg(
         F.count("*").cast("double").alias("weight"),
         F.max("confidence").alias("confidence"),
         # Relation.evidence (knowledge_models.py:94-97): top-3 distinct
         # supporting sentences, deterministic (sorted) and size-capped
         F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias("evidence"),
         F.array_sort(F.collect_set("extraction_method")).alias("_methods"),
+    )
+    dim = surface_ids(triples)
+    e = by_surface.join(
+        dim.select(
+            F.col("name").alias("subj_name"),
+            F.col("entity_type").alias("subj_type"),
+            F.col("entity_id").alias("subject_id"),
+        ),
+        ["subj_name", "subj_type"],
+    ).join(
+        dim.select(
+            F.col("name").alias("obj_name"),
+            F.col("entity_type").alias("obj_type"),
+            F.col("entity_id").alias("object_id"),
+        ),
+        ["obj_name", "obj_type"],
+    )
+    # PHASE 2 — re-aggregate by canonical id: distinct surfaces can
+    # normalize to the SAME entity_id, so the surface-keyed groups are
+    # finer than the id-keyed edges. Every column's merge is the exact
+    # distributive combine (combine_edge_aggs' rules), and this second
+    # aggregation runs at (tiny) edge x surface-variant cardinality.
+    return e.groupBy("subject_id", "predicate", "object_id").agg(
+        F.sum("weight").alias("weight"),
+        F.max("confidence").alias("confidence"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("evidence")))), 1, 3
+        ).alias("evidence"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_methods")))
+        ).alias("_methods"),
     )
 
 

@@ -52,16 +52,21 @@ synth_raster = raster.synth_raster
 synth_rasters_batch = raster.synth_rasters_batch
 
 
-def _media_base(spans: DataFrame, blobs: DataFrame | None) -> DataFrame:
+def _media_base(spans: DataFrame, blobs: DataFrame | None, salt: bool = True) -> DataFrame:
     """The shared head of every media operator: media-kind spans,
     optionally joined with the blob store (inner join on media_ref —
     a media row without bytes cannot be decoded; the quarantine path
     accounts for refs missing from the store, see blob_accounting),
-    then salt-repartitioned so a 50-media-span doc cannot pin one
-    partition."""
+    then salt-repartitioned so a media-heavy doc cannot pin one
+    partition. ``salt=False`` keeps the upstream (doc-keyed)
+    partitioning — exists ONLY so the skew-stress bench
+    (scripts/bench_skew.py) can measure what the salt buys on a
+    heavy-tailed corpus; every production path salts."""
     media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
     if blobs is not None:
         media = media.join(blobs.select("media_ref", "png"), "media_ref")
+    if not salt:
+        return media
     n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
 
@@ -420,7 +425,9 @@ def assess_quality_batch(G) -> dict:
     }
 
 
-def media_quality(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:
+def media_quality(
+    spans: DataFrame, blobs: DataFrame | None = None, salt: bool = True
+) -> DataFrame:
     """media spans -> per-image quality assessment via mapInPandas: the
     bytes decode through the stdlib PNG reader (or the fixture fallback
     — module docstring), the METRICS over the pixels are the
@@ -428,8 +435,9 @@ def media_quality(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame
     (``assess_quality_batch``; ``assess_quality_gray`` is the
     per-image reference implementation the batch path is tested
     against). Same seam, salting and Arrow batch shape as
-    ``media_features``."""
-    media = _media_base(spans, blobs)
+    ``media_features``. ``salt=False`` is the skew-bench control only
+    (see ``_media_base``)."""
+    media = _media_base(spans, blobs, salt=salt)
 
     def assess_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # chunk the raster stack: the 25-tap median materializes

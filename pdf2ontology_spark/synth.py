@@ -49,8 +49,12 @@ N_DOCS = {
     "sfxl": 150000,
     "sfxxl": 600000,
     "sfb": 2_400_000,
+    "sfskew": 20000,
 }
-BENCH_TAGS = {"sfxl", "sfxxl", "sfb"}
+BENCH_TAGS = {"sfxl", "sfxxl", "sfb", "sfskew"}
+# heavy-tail stress corpora (1% of docs at ~100x media load) — bench
+# tags (no goldens/blob store); the skew-evidence harness reads these
+SKEW_TAGS = {"sfskew"}
 
 PARAMS = [
     ("durchfluss", "l/min"),
@@ -267,10 +271,15 @@ def _make_text_span(rng: random.Random, doc_id: str, org: str):
     return rng.choice(FILLERS), []
 
 
-def _generate_chunk(seed: int, start: int, count: int):
+def _generate_chunk(seed: int, start: int, count: int, skew: bool = False):
     """Generate docs [start, start+count) with a chunk-local RNG seeded
     by (seed, start) — deterministic regardless of how many workers run
-    which chunks, so parallel and sequential generation agree."""
+    which chunks, so parallel and sequential generation agree.
+
+    ``skew=True`` is the heavy-tail stress mode (north-rule skew-aware
+    evidence): 1%% of docs carry ~100x the normal media-span load
+    (300-500 media spans vs the usual 0-4), the shape a crawl with
+    image-gallery pages exhibits."""
     rng = random.Random(f"{seed}:{start}")
     docs, goldens, orgs = [], [], []
     for d in range(start, start + count):
@@ -289,9 +298,13 @@ def _generate_chunk(seed: int, start: int, count: int):
 
         add_span("title", f"Datenblatt {org} Anlage {d % 97}")
         heavy = d % 50 == 7  # ~2% media-heavy docs (north-rule skew)
+        hyper = skew and d % 100 == 13  # heavy-tail mode: 1% at ~100x
         n_tables = rng.randint(1, 3)
         n_text = rng.randint(1, max(1, int(rng.lognormvariate(1.2, 0.6))) + 4)
-        n_media = rng.randint(30, 50) if heavy else rng.randint(0, 4)
+        if hyper:
+            n_media = rng.randint(300, 500)
+        else:
+            n_media = rng.randint(30, 50) if heavy else rng.randint(0, 4)
 
         body = (
             ["table"] * n_tables
@@ -355,12 +368,12 @@ def _generate_chunk(seed: int, start: int, count: int):
     return docs, goldens, orgs
 
 
-def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED):
+def generate_corpus(n_docs: int, seed: int = DEFAULT_SEED, skew: bool = False):
     """Returns (doc_rows, golden_triples, org_mentions) as Python lists —
     sequential concatenation of the deterministic chunks."""
     docs, goldens, orgs = [], [], []
     for s in range(0, n_docs, CHUNK):
-        d, g, o = _generate_chunk(seed, s, min(CHUNK, n_docs - s))
+        d, g, o = _generate_chunk(seed, s, min(CHUNK, n_docs - s), skew)
         docs.extend(d)
         goldens.extend(g)
         orgs.extend(o)
@@ -585,15 +598,20 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
     }
     needed = ["documents_spans"] + (["golden_triples", "org_mentions"] if with_goldens else [])
     meta_path = os.path.join(out, "_meta.json")
+    skew = tag in SKEW_TAGS
     want_meta = {
         "version": GEN_VERSION,
         "n_docs": n_docs,
         "seed": seed,
         "row_group": ROW_GROUP_ROWS,
+        "skew": skew,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            if json.load(f) == want_meta and all(os.path.exists(paths[p]) for p in needed):
+            # pre-skew-key metas mean skew=False: don't invalidate (and
+            # regenerate) the large cached corpora over the new field
+            have_meta = {"skew": False, **json.load(f)}
+            if have_meta == want_meta and all(os.path.exists(paths[p]) for p in needed):
                 return paths
 
     os.makedirs(out, exist_ok=True)
@@ -608,7 +626,7 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
         writers[path].write_table(tbl, row_group_size=ROW_GROUP_ROWS)
 
     if len(starts) <= 1:
-        chunks = iter([_generate_chunk(seed, 0, n_docs)])
+        chunks = iter([_generate_chunk(seed, 0, n_docs, skew)])
     else:
         from concurrent.futures import ProcessPoolExecutor
 
@@ -618,6 +636,7 @@ def ensure_synth(tag_or_sf_dir: str, base_dir: str = SYNTH_BASE, seed: int = DEF
             [seed] * len(starts),
             starts,
             [min(CHUNK, n_docs - s) for s in starts],
+            [skew] * len(starts),
             chunksize=1,
         )
     try:

@@ -60,6 +60,19 @@ def test_media_features_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs"
 
 
+def test_media_stages_salt_on_composite_key(spark):
+    """Every media decode stage must repartition on xxhash64(doc_id,
+    media_ref) — the skew salt that keeps a 500-media-span gallery doc
+    from pinning one partition (north rule; measured on the sfskew
+    heavy-tail corpus by scripts/bench_skew.py). A doc_id-only hash
+    would put a whole doc's media in one bucket."""
+    for q in [entry.q_media_quality, entry.q_media_features, entry.q_assess_media_real]:
+        plan = plan_of(q(spark, SF))
+        assert re.search(r"hashpartitioning\(xxhash64\(doc_id#\d+, media_ref", plan), (
+            f"{q.__name__} lost the composite-key salt exchange"
+        )
+
+
 def test_graph_queries_read_checkpointed_stage(spark):
     """nodes/edges must consume the extraction as a materialized stage
     (lazy localCheckpoint), not re-expand the fused plan — edges alone

@@ -46,30 +46,33 @@ import numpy as np
 sys.path.insert(0, %(repo)r)
 from pdf2ontology_spark import synth
 from pdf2ontology_spark.session import get_spark
-from pdf2ontology_spark.operators import media
+from pdf2ontology_spark.operators import media, segment
 from pdf2ontology_spark.sources import tables
 from pyspark.sql import functions as F
 
 TAG = %(tag)r
 N_PART = %(n_part)d
-sf_dir = synth.ensure_synth(TAG)
+synth.ensure_synth(TAG)
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
 app_id = spark.sparkContext.applicationId
-spans = tables.load_documents_spans(spark, sf_dir)
+# explode AFTER any repartition: explode is narrow, so a doc_id-hash
+# layout of the nested docs is exactly the doc-keyed layout the
+# exploded spans inherit (the shape upstream doc-keyed stages leave)
+docs = tables.load_documents_spans(spark, TAG)
+spans = segment.explode_spans(docs)
 
 def run(mode):
+    doc_keyed = segment.explode_spans(docs.repartition(N_PART, F.xxhash64("doc_id")))
     if mode == "salted":
         df = media.media_quality(spans, salt=True)
     else:
         # doc-keyed layout feeding an UNSALTED stage: repartition the
-        # spans by doc_id hash, then keep that partitioning (salt=False)
-        df = media.media_quality(
-            spans.repartition(N_PART, F.xxhash64("doc_id")), salt=False
-        )
+        # docs by doc_id hash, explode, keep that layout (salt=False)
+        df = media.media_quality(doc_keyed, salt=False)
     # (a) deterministic partition-size histogram of the stage input
     base = media._media_base(
-        spans.repartition(N_PART, F.xxhash64("doc_id")) if mode == "unsalted" else spans,
+        doc_keyed if mode == "unsalted" else spans,
         None,
         salt=(mode == "salted"),
     )
@@ -89,23 +92,28 @@ def run(mode):
         "rows_max": int(sizes.max()),
         "max_over_mean": float(sizes.max() / sizes.mean()),
     }
-    # (b) wall: warmup once, then min of 2 timed reps
+    # (b) wall: warmup once, then %(reps)d timed reps with per-rep
+    # event-time windows — the task histogram is computed from the
+    # MIN-WALL rep only, the least host-noise-contaminated sample
     def force():
         t0 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
     force()
-    w0 = time.time() * 1000
-    walls = [force() for _ in range(2)]
-    w1 = time.time() * 1000
-    return hist, walls, (w0, w1)
+    walls, windows = [], []
+    for _ in range(%(reps)d):
+        w0 = time.time() * 1000
+        walls.append(force())
+        windows.append((w0, time.time() * 1000))
+    return hist, walls, windows
 
 mode = %(mode)r
 spark.conf.set("spark.sql.shuffle.partitions", str(N_PART))
-hist, walls, (w0, w1) = run(mode)
+hist, walls, windows = run(mode)
 spark.stop()
 
-# (c) task run-time histogram for the timed window
+# (c) task run-time histogram for the min-wall rep's window
+w0, w1 = windows[int(np.argmin(walls))]
 task_ms = []
 for path in glob.glob(os.path.join(%(evdir)r, app_id + "*")):
     with open(path) as f:
@@ -145,6 +153,7 @@ def main() -> None:
             "n_part": n_part,
             "mode": mode,
             "evdir": EVDIR,
+            "reps": int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "4")),
         }
         r = subprocess.run(
             [sys.executable, "-c", code], env=env, capture_output=True, text=True

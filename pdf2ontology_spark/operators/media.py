@@ -63,12 +63,19 @@ def _media_base(spans: DataFrame, blobs: DataFrame | None, salt: bool = True) ->
     (scripts/bench_skew.py) can measure what the salt buys on a
     heavy-tailed corpus; every production path salts."""
     media = spans.filter(F.col("kind") == "media").select("doc_id", "media_ref", "offset")
+    if salt:
+        # salt BEFORE the blob join: the exchange moves only the narrow
+        # (doc_id, media_ref, offset) rows — blob bytes, the widest
+        # column in the pipeline, never transit the salt shuffle. The
+        # join then either broadcasts the blob side onto the salted
+        # layout (small store) or shuffles both sides on media_ref
+        # (unique per span), which is itself uniform — a media-heavy
+        # doc cannot pin a partition on either path.
+        n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
     if blobs is not None:
         media = media.join(blobs.select("media_ref", "png"), "media_ref")
-    if not salt:
-        return media
-    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    return media
 
 
 def _rasters_for(part: pd.DataFrame):
@@ -133,17 +140,34 @@ def media_features(spans: DataFrame, blobs: DataFrame | None = None) -> DataFram
             oks = [False] * n
             imgs, ok_ix = [], []
             if "png" in pdf.columns:
-                for i, blob in enumerate(pdf["png"]):
-                    try:
-                        b = bytes(blob)
-                        fmts[i] = "png" if b[:8] == png_codec.PNG_SIG else "unknown"
-                        g = png_codec.decode_png_gray(b)
-                    except (png_codec.PngFormatError, TypeError):
-                        continue
-                    heights[i], widths[i] = g.shape
-                    oks[i] = True
-                    imgs.append(g)
-                    ok_ix.append(i)
+                blobs = list(pdf["png"])
+                try:
+                    # batch-vectorized decode — the hot path when every
+                    # blob is well-formed and one shape (the normal case)
+                    G = png_codec.decode_png_gray_batch(
+                        [bytes(b) for b in blobs]
+                    )
+                    imgs = list(G)
+                    ok_ix = list(range(n))
+                    heights[:], widths[:] = G.shape[1], G.shape[2]
+                    fmts = ["png"] * n
+                    oks = [True] * n
+                except (png_codec.PngFormatError, TypeError):
+                    # F11 per-item tolerance: re-decode one by one so a
+                    # single corrupt/mixed-shape blob quarantines alone
+                    for i, blob in enumerate(blobs):
+                        try:
+                            b = bytes(blob)
+                            fmts[i] = (
+                                "png" if b[:8] == png_codec.PNG_SIG else "unknown"
+                            )
+                            g = png_codec.decode_png_gray(b)
+                        except (png_codec.PngFormatError, TypeError):
+                            continue
+                        heights[i], widths[i] = g.shape
+                        oks[i] = True
+                        imgs.append(g)
+                        ok_ix.append(i)
             else:
                 G = raster.synth_rasters_batch(list(pdf["media_ref"]))
                 imgs = list(G)

@@ -202,14 +202,98 @@ def read_png_header(data: bytes) -> tuple[int, int, int, int]:
     raise PngFormatError("missing IHDR chunk")
 
 
+def _inflate_scanlines(data: bytes) -> tuple[int, int, bytes]:
+    """One image's (w, h, raw scanline bytes) — the chunk-parse +
+    inflate half of ``decode_png_gray`` (all C-side work)."""
+    ihdr = None
+    idat = bytearray()
+    for tag, payload in _parse_chunks(bytes(data)):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+    if ihdr is None:
+        raise PngFormatError("missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != COLOR_GRAY:
+        raise PngFormatError(f"unsupported PNG profile: depth={depth} color={color}")
+    if comp != 0 or filt != 0:
+        raise PngFormatError("unsupported compression/filter method")
+    if interlace != 0:
+        raise PngFormatError("Adam7 interlacing not supported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngFormatError(f"IDAT inflate failed: {e}") from None
+    if len(raw) != h * (w + 1):
+        raise PngFormatError(f"IDAT size {len(raw)} != expected {h * (w + 1)}")
+    return w, h, raw
+
+
 def decode_png_gray_batch(blobs) -> np.ndarray:
     """list[bytes] -> (B, h, w) int64 stack; all images must share one
     shape (the batch kernels operate on a uniform stack — mixed shapes
-    are grouped by the caller, like apply_actions' signature groups)."""
+    are grouped by the caller, like apply_actions' signature groups).
+
+    The unfilter recurrences run BATCH-VECTORIZED: chunk parse + inflate
+    stay per-image (C-side zlib), then the five defilter paths process
+    row y of EVERY image at once — the per-pixel left-neighbor loop is
+    h*w numpy ops on (B,)-wide vectors per batch instead of per image
+    (~B-fold fewer interpreter steps; bit-identical to
+    ``decode_png_gray``, pinned by tests/test_png_codec.py)."""
     if len(blobs) == 0:
         return np.zeros((0, 0, 0), dtype=np.int64)
-    imgs = [decode_png_gray(b) for b in blobs]
-    shapes = {im.shape for im in imgs}
+    parsed = [_inflate_scanlines(b) for b in blobs]
+    shapes = {(h, w) for w, h, _ in parsed}
     if len(shapes) != 1:
         raise PngFormatError(f"mixed raster shapes in one batch: {sorted(shapes)}")
-    return np.stack(imgs)
+    w, h, _ = parsed[0]
+    B = len(parsed)
+    stride = w + 1
+    scan = np.frombuffer(b"".join(raw for _, _, raw in parsed), dtype=np.uint8)
+    scan = scan.reshape(B, h, stride)
+    filters = scan[:, :, 0].astype(np.int64)
+    rows = scan[:, :, 1:].astype(np.int64)
+    bad = ~np.isin(filters, (0, 1, 2, 3, 4))
+    if bad.any():
+        i, y = np.argwhere(bad)[0]
+        raise PngFormatError(f"unknown filter type {filters[i, y]} in row {y}")
+    if not filters.any():
+        return rows  # fast path: every row of every image is filter 0
+    out = np.empty((B, h, w), dtype=np.int64)
+    prev = np.zeros((B, w), dtype=np.int64)
+    for y in range(h):
+        f = filters[:, y]
+        r = rows[:, y]
+        # None/Sub start from the raw row; Up adds the prior row whole
+        cur = np.where((f == 2)[:, None], (r + prev) & 0xFF, r).copy()
+        f1 = f == 1
+        f3 = f == 3
+        f4 = f == 4
+        need = f1 | f3 | f4
+        if need.any():
+            # x = 0: Sub's left is 0 (no-op); Average's pred is prev//2;
+            # Paeth's (a=c=0) predictor resolves to b = prev
+            cur[f3, 0] = (cur[f3, 0] + prev[f3, 0] // 2) & 0xFF
+            cur[f4, 0] = (cur[f4, 0] + prev[f4, 0]) & 0xFF
+            any_f4 = bool(f4.any())
+            for x in range(1, w):
+                a = cur[:, x - 1]
+                b = prev[:, x]
+                pred = np.where(f1, a, 0)
+                if f3.any():
+                    pred = np.where(f3, (a + b) // 2, pred)
+                if any_f4:
+                    c = prev[:, x - 1]
+                    p = a + b - c
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - c)
+                    paeth = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    pred = np.where(f4, paeth, pred)
+                cur[need, x] = (cur[need, x] + pred[need]) & 0xFF
+        out[:, y] = cur
+        prev = cur
+    return out

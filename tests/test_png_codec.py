@@ -124,3 +124,36 @@ def test_blob_store_generation_cached(tmp_path):
     assert (png_codec.decode_png_gray(blob) == raster.synth_raster(ref)).all()
     with pytest.raises(ValueError):
         synth.ensure_blobs("sfb")  # bench tags have no blob store
+
+
+def test_batch_decode_bitequal_to_single_across_filters():
+    """The batch-vectorized defilter (decode_png_gray_batch) must be
+    bit-identical to the per-image reference decoder on a batch whose
+    rows mix ALL five filter types — the masked recurrence paths are
+    only exercised when different images pick different filters for the
+    same row index."""
+    rng = np.random.RandomState(3)
+    imgs = []
+    for i in range(64):
+        k = i % 5
+        if k == 0:
+            g = np.full((16, 16), i % 256)  # flat -> Up/None
+        elif k == 1:
+            g = np.tile((np.arange(16) * (i % 13 + 1)) % 256, (16, 1))  # Sub
+        elif k == 2:
+            g = (np.add.outer(np.arange(16), np.arange(16)) * (i % 7 + 1)) % 256
+        elif k == 3:
+            g = rng.randint(0, 256, size=(16, 16))  # noise -> None
+        else:
+            g = (np.arange(256).reshape(16, 16) * (i % 11 + 1)) % 256
+        imgs.append(g.astype(np.int64))
+    blobs = [png_codec.encode_png_gray(g) for g in imgs]
+    seen = set()
+    for b in blobs:
+        _w, _h, raw = png_codec._inflate_scanlines(b)
+        seen |= set(raw[:: 16 + 1])
+    assert seen >= {0, 1, 2, 4}, f"filter mix too narrow for the pin: {sorted(seen)}"
+    single = np.stack([png_codec.decode_png_gray(b) for b in blobs])
+    batch = png_codec.decode_png_gray_batch(blobs)
+    assert (single == batch).all()
+    assert (single == np.stack(imgs)).all()

@@ -99,22 +99,41 @@ def _build_bin_lut():
 _BIN_LUT = _build_bin_lut()
 
 
+def _build_onehot():
+    """(h*w, nt*RHO_BINS) 0/1 float32 one-hot of _BIN_LUT: column
+    t*RHO_BINS + r is 1 where cell c votes bin r at theta t."""
+    cells = GRID_H * GRID_W
+    nt = len(THETA_DEG)
+    M = np.zeros((cells, nt * RHO_BINS), dtype=np.float32)
+    rows = np.repeat(np.arange(cells), nt)
+    cols = (np.tile(np.arange(nt), cells) * RHO_BINS) + _BIN_LUT.ravel()
+    M[rows, cols] = 1.0
+    return M
+
+
+_ONEHOT = _build_onehot()
+
+
 def hough_votes(edge):
     """(B,h,w) edge stack -> (B, n_theta, RHO_BINS) vote counts.
 
     rho = x*cos(theta) + y*sin(theta) (cv2 point convention x=col,
     y=row), binned with floor(rho + 0.5) — the shift-floor round that
-    is bit-identical across engines (round() half-rules differ)."""
+    is bit-identical across engines (round() half-rules differ).
+
+    The accumulation is ONE exact float32 GEMM: the edge mask is dense
+    (typically >half the cells), so votes = edge(B, cells) @ onehot
+    (cells, nt*RHO_BINS). Counts are bounded by cells=256 << 2^24, so
+    float32 accumulation is exact; the previous scatter form
+    (np.bincount over B*E*nt expanded keys) built a ~30x larger key
+    array and was memory-bound (measured 20x slower on a 10k batch)."""
     B = edge.shape[0]
-    b_idx, yy, xx = np.nonzero(edge)
     nt = len(THETA_DEG)
-    votes = np.zeros((B, nt, RHO_BINS), dtype=np.int64)
-    if len(b_idx) == 0:
-        return votes
-    bins = _BIN_LUT[yy * GRID_W + xx]  # (E, nt) integer lookups
-    keys = (b_idx[:, None] * nt + np.arange(nt)[None, :]) * RHO_BINS + bins
-    counts = np.bincount(keys.ravel(), minlength=B * nt * RHO_BINS)
-    return counts.reshape(B, nt, RHO_BINS)
+    if B == 0:
+        return np.zeros((B, nt, RHO_BINS), dtype=np.int64)
+    flat = edge.reshape(B, GRID_H * GRID_W).astype(np.float32)
+    votes = flat @ _ONEHOT
+    return votes.reshape(B, nt, RHO_BINS).astype(np.int64)
 
 
 def _skew_from_votes(v) -> tuple[float, float, int]:

@@ -37,6 +37,14 @@ def get_spark(
       to ~2-3x total executor cores (AQE coalesces the rest).
     """
     cpus = _cpus()
+    # One BLAS thread per task: Spark supplies the parallelism (every
+    # Arrow-batched kernel runs in N concurrent python workers), so a
+    # multi-threaded GEMM inside each worker would oversubscribe the
+    # host N*threads-fold. Set BEFORE the JVM forks so pyspark.daemon
+    # and its python workers inherit it — the same setting a cluster
+    # deploy ships via spark.executorEnv.
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)

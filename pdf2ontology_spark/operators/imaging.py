@@ -214,11 +214,16 @@ def denoise_median5_batch(G, chunk: int = 1024):
     n, h, w = G.shape
     out = np.empty_like(G)
     for s in range(0, n, chunk):
-        p = np.pad(G[s : s + chunk], ((0, 0), (2, 2), (2, 2)), mode="edge")
+        # every chain kernel clips to [0, 255], so the taps fit uint8;
+        # median of 25 = the exact 13th order statistic (odd count) —
+        # np.partition on the narrow dtype, bit-equal to np.median
+        p = np.pad(
+            G[s : s + chunk].astype(np.uint8), ((0, 0), (2, 2), (2, 2)), mode="edge"
+        )
         stack = np.stack(
             [p[:, dy : dy + h, dx : dx + w] for dy in range(5) for dx in range(5)]
         )
-        out[s : s + chunk] = np.median(stack, axis=0).astype(np.int64)
+        out[s : s + chunk] = np.partition(stack, 12, axis=0)[12].astype(np.int64)
     return out
 
 

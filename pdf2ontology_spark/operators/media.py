@@ -397,8 +397,13 @@ def assess_quality_batch(G) -> dict:
 
     B, hh, ww = G.shape
     n = hh * ww
-    s1 = G.sum(axis=(1, 2))
-    s2 = (G * G).sum(axis=(1, 2))
+    # narrow-dtype hot path: every intermediate is exact in int32
+    # (pixels <= 255, laplacian in [-1020, 1020], squares < 2^31) and
+    # the 25-tap median runs as a uint8 partition — an int64 median
+    # stack alone was 8x this whole kernel's cost at a 10k batch
+    g32 = G.astype(np.int32)
+    s1 = g32.sum(axis=(1, 2), dtype=np.int64)
+    s2 = (g32 * g32).sum(axis=(1, 2), dtype=np.int64)
     mean = s1 / n
     std = np.sqrt(s2 / n - (s1 / n) * (s1 / n))
     contrast = np.minimum(std / 80.0, 1.0)
@@ -407,19 +412,21 @@ def assess_quality_batch(G) -> dict:
         mean / 120.0,
         np.where(mean > 200, np.maximum(0.0, 1.0 - (mean - 200) / 55.0), 1.0),
     )
-    p = np.pad(G, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    p = np.pad(g32, ((0, 0), (1, 1), (1, 1)), mode="reflect")
     lap = (
-        p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:] - 4 * G
+        p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:] - 4 * g32
     )
-    l1 = lap.sum(axis=(1, 2))
-    l2 = (lap * lap).sum(axis=(1, 2))
+    l1 = lap.sum(axis=(1, 2), dtype=np.int64)
+    l2 = (lap * lap).sum(axis=(1, 2), dtype=np.int64)
     sharpness = np.minimum((l2 / n - (l1 / n) * (l1 / n)) / 1000.0, 1.0)
-    pe = np.pad(G, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    pe = np.pad(G.astype(np.uint8), ((0, 0), (2, 2), (2, 2)), mode="edge")
     stack = np.stack(
         [pe[:, dy : dy + hh, dx : dx + ww] for dy in range(5) for dx in range(5)]
     )
-    med = np.median(stack, axis=0)
-    sad = np.abs(G - med).sum(axis=(1, 2))
+    # median of 25 = the 13th order statistic exactly (odd count, no
+    # interpolation) — np.partition on uint8, bit-equal to np.median
+    med = np.partition(stack, 12, axis=0)[12].astype(np.int32)
+    sad = np.abs(g32 - med).sum(axis=(1, 2), dtype=np.int64)
     noise = np.minimum((sad / n) / 20.0, 1.0)
     overall = contrast * 0.3 + brightness * 0.2 + sharpness * 0.3 + (1.0 - noise) * 0.2
 

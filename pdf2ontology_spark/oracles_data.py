@@ -56,10 +56,21 @@ SELECT md5({text_col}) AS content_hash, count(*) AS n_docs,
 FROM {source} GROUP BY 1 HAVING count(*) >= 2"""
 
 
-def _mh_aggs() -> str:
+def mh_mix_aggs(k: int, shingle_expr: str = "shingle") -> str:
+    """The universal-hash MinHash aggregations (dedup.mix_consts
+    family): ONE md5 per shingle, k multiply-mod mixes — digit-wise
+    hex->int via ``hexval`` since DuckDB lacks a conversion."""
+    from pdf2ontology_spark.operators.dedup import MINHASH_P, mix_consts
+
+    A, B = mix_consts(k)
+    base = hexval(f"md5({shingle_expr})", 1, 8)
     return ",\n    ".join(
-        f"min(substr(md5('{i}:' || shingle), 1, 16)) AS mh_{i}" for i in range(MINHASH_K)
+        f"min(({A[i]} * {base} + {B[i]}) % {MINHASH_P}) AS mh_{i}" for i in range(k)
     )
+
+
+def _mh_aggs() -> str:
+    return mh_mix_aggs(MINHASH_K)
 
 
 def minhash_signature_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -3,9 +3,11 @@ exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
 All hash functions are md5-derived so the SAME construction is
 reproducible in DuckDB oracle SQL (Spark ``md5`` and DuckDB ``md5``
-agree byte-for-byte; a fixed-width lowercase-hex prefix compares
-lexicographically == numerically, so ``min`` over hex strings is a
-valid minhash). Everything is JVM-side expressions — no UDFs.
+agree byte-for-byte). The MinHash family hashes each shingle ONCE and
+derives the k signature slots arithmetically: base = the first 64 md5
+bits as two 32-bit integers, mh_i = (A_i*b1 % P + A'_i*b2 % P + B_i)
+mod P — the classic universal-hash construction, BIGINT-valued on both
+engines. Everything is JVM-side expressions — no UDFs.
 
 Scale notes:
 - shingling explodes ~W rows per doc; the minhash signature is ONE
@@ -86,40 +88,66 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 MINHASH_P = (1 << 61) - 1  # Mersenne prime modulus for the mix family
 
 
-def mix_consts(k: int) -> tuple[list[int], list[int]]:
-    """Deterministic (A, B) multiply-shift constants for the k-way
-    universal-hash family h_i(x) = (A_i*x + B_i) mod MINHASH_P.
-    A_i < 2^30 (odd) and base < 2^32 keep every product inside signed
-    64-bit range on BOTH engines (Spark wraps silently, DuckDB throws —
-    the bound makes the question moot)."""
+def mix_consts(k: int) -> tuple[list[int], list[int], list[int]]:
+    """Deterministic (A1, A2, B) constants for the k-way universal-hash
+    family h_i(b1, b2) = (A1_i*b1 % P + A2_i*b2 % P + B_i) mod P over
+    the two 32-bit halves of a shingle's 64-bit md5 prefix. A < 2^30
+    (odd) and b < 2^32 keep every product inside signed 64-bit, and
+    each mod-P term < 2^61 keeps the 3-term sum < 2^63 — on BOTH
+    engines (Spark wraps silently, DuckDB throws; the bounds make the
+    question moot). Mixing BOTH halves means fusing two shingles in a
+    slot requires a full 64-bit md5-prefix collision, not a 32-bit one
+    (birthday at ~2^32 shingles, not ~2^16)."""
     import hashlib
 
-    A, B = [], []
+    A1, A2, B = [], [], []
     for i in range(k):
         ha = int.from_bytes(hashlib.md5(f"mh-a-{i}".encode()).digest()[:8], "big")
+        hc = int.from_bytes(hashlib.md5(f"mh-c-{i}".encode()).digest()[:8], "big")
         hb = int.from_bytes(hashlib.md5(f"mh-b-{i}".encode()).digest()[:8], "big")
-        A.append((ha % (1 << 30)) | 1)
+        A1.append((ha % (1 << 30)) | 1)
+        A2.append((hc % (1 << 30)) | 1)
         B.append(hb % MINHASH_P)
-    return A, B
+    return A1, A2, B
 
 
-def minhash_base(shingle: Column) -> Column:
-    """32-bit integer fingerprint of a shingle: first 8 hex chars of
-    md5 — ONE digest per shingle; the k signature rows derive from it
+def minhash_bases(shingle: Column) -> tuple[Column, Column]:
+    """Two 32-bit integer halves of a shingle's 64-bit md5 prefix —
+    ONE digest per shingle (Spark's subexpression elimination merges
+    the two md5 references); the k signature slots derive from them
     arithmetically (DuckDB twin: oracles_data.hexval over the same
-    digits)."""
-    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+    digits of a once-computed md5 column)."""
+    h = F.md5(shingle)
+    b1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return b1, b2
+
+
+def minhash_mix_exprs(shingle: Column, k: int) -> list[Column]:
+    """The k min-aggregate inputs of the universal-hash MinHash."""
+    A1, A2, B = mix_consts(k)
+    b1, b2 = minhash_bases(shingle)
+    return [
+        (
+            (F.lit(A1[i]) * b1) % F.lit(MINHASH_P)
+            + (F.lit(A2[i]) * b2) % F.lit(MINHASH_P)
+            + F.lit(B[i])
+        )
+        % F.lit(MINHASH_P)
+        for i in range(k)
+    ]
 
 
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, w: int = SHINGLE_W
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — mh_i = min over shingles of
-    (A_i * base(shingle) + B_i) mod MINHASH_P, base = the first 8 md5
-    hex digits as an integer. Single groupBy; ONE md5 per shingle with
-    k multiply-mod mixes (the classic universal-hash MinHash family)
-    instead of k independent digests — measured 2x faster end-to-end
-    at sf0.1, identical LSH semantics.
+    """(id, mh_0..mh_{k-1}) — mh_i = min over shingles of the
+    universal-hash mix (``minhash_mix_exprs``) of the shingle's 64-bit
+    md5 prefix. Single groupBy; ONE md5 per shingle with k
+    multiply-mod mixes instead of k independent digests — measured 2x
+    faster end-to-end at sf0.1. (LSH semantics: slot fusion now needs
+    a 64-bit md5-prefix collision between shingles — negligible at any
+    realistic corpus, vs impossible-by-construction before.)
 
     Deliberately NOT fused in-row (unlike triples): the exploded rows
     for one document are contiguous within their scan partition, so the
@@ -129,11 +157,9 @@ def minhash_signature(
     codegen. An in-row array_min/transform variant was measured 2x
     SLOWER: higher-order lambdas evaluate interpreted."""
     sh = shingles(df, id_col, text_col, w)
-    A, B = mix_consts(k)
-    base = minhash_base(F.col("shingle"))
     aggs = [
-        F.min((F.lit(A[i]) * base + F.lit(B[i])) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i in range(k)
+        F.min(e).alias(f"mh_{i}")
+        for i, e in enumerate(minhash_mix_exprs(F.col("shingle"), k))
     ]
     return sh.groupBy("id").agg(*aggs)
 

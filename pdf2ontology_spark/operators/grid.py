@@ -111,12 +111,19 @@ def assign_cells_banded(cells: DataFrame, bands: DataFrame) -> DataFrame:
     re-expanding its subtree."""
     # a table lacking either band family never assigns (the old inner
     # joins on both band sides dropped its cells): _nearest_idx is null
-    # exactly when its band array is empty, so the contract is enforced
-    # as a size() filter on the (table-granular) bands side BEFORE the
-    # join — a post-join isNotNull filter gets pushed into the join
-    # condition, where it re-evaluates the O(bands) argmin aggregate a
-    # second time per cell (measured: 2x the whole assign stage's cost)
+    # exactly when its band array is empty OR the cell's center is
+    # null/NaN, so the contract is enforced as a size() filter on the
+    # (table-granular) bands side plus a scalar center-validity filter
+    # on the cells side BEFORE the join — a post-join isNotNull filter
+    # gets pushed into the join condition, where it re-evaluates the
+    # O(bands) argmin aggregate a second time per cell (measured: 2x
+    # the whole assign stage's cost)
     bands = bands.filter((F.size("row_bands") > 0) & (F.size("col_bands") > 0))
+    cy = F.col("y") + F.col("h") / 2
+    cx = F.col("x") + F.col("w") / 2
+    cells = cells.filter(
+        cy.isNotNull() & ~F.isnan(cy) & cx.isNotNull() & ~F.isnan(cx)
+    )
     return (
         cells.join(bands, KEY)
         .withColumn("row", _nearest_idx(F.col("row_bands"), F.col("y") + F.col("h") / 2))

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf2ontology_spark.operators import components, dedup, graph
+from pdf2ontology_spark.operators import components, graph
 
 JACCARD_THRESHOLD = 0.6
 LSH_K = 12
@@ -87,12 +87,14 @@ def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
     sh = fuzzy_base.select(
         "surface_id", "entity_type", "grams", F.explode("grams").alias("shingle")
     )
-    # one md5 per gram + LSH_K multiply-mod mixes (dedup.mix_consts) —
-    # the same universal-hash MinHash family the document dedup uses
-    A, B = dedup.mix_consts(LSH_K)
-    base = dedup.minhash_base(F.col("shingle"))
+    # LSH_K independent md5('i:'||gram) digests per gram — NOT the
+    # document dedup's one-digest mix family: the surfaces input is
+    # tiny (distinct normalized keys, ~8 grams each) so the digest
+    # cost is immaterial here, while the recall of specific near-dup
+    # name pairs is fixture-pinned (tests/test_linking.py) and the
+    # banding draw of this family is the one those pins encode.
     aggs = [
-        F.min((F.lit(A[i]) * base + F.lit(B[i])) % F.lit(dedup.MINHASH_P)).alias(
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
             f"mh_{i}"
         )
         for i in range(LSH_K)

@@ -138,24 +138,20 @@ def media_features(spans: DataFrame, blobs: DataFrame | None = None) -> DataFram
             fmts = [""] * n
             hashes = [""] * n
             oks = [False] * n
+            G = None  # (B, h, w) stack when every row decoded
             imgs, ok_ix = [], []
             if "png" in pdf.columns:
-                blobs = list(pdf["png"])
+                blob_list = list(pdf["png"])
                 try:
                     # batch-vectorized decode — the hot path when every
                     # blob is well-formed and one shape (the normal case)
                     G = png_codec.decode_png_gray_batch(
-                        [bytes(b) for b in blobs]
+                        [bytes(b) for b in blob_list]
                     )
-                    imgs = list(G)
-                    ok_ix = list(range(n))
-                    heights[:], widths[:] = G.shape[1], G.shape[2]
-                    fmts = ["png"] * n
-                    oks = [True] * n
                 except (png_codec.PngFormatError, TypeError):
                     # F11 per-item tolerance: re-decode one by one so a
                     # single corrupt/mixed-shape blob quarantines alone
-                    for i, blob in enumerate(blobs):
+                    for i, blob in enumerate(blob_list):
                         try:
                             b = bytes(blob)
                             fmts[i] = (
@@ -170,12 +166,13 @@ def media_features(spans: DataFrame, blobs: DataFrame | None = None) -> DataFram
                         ok_ix.append(i)
             else:
                 G = raster.synth_rasters_batch(list(pdf["media_ref"]))
-                imgs = list(G)
+            if G is not None:
                 ok_ix = list(range(n))
                 heights[:], widths[:] = G.shape[1], G.shape[2]
                 fmts = ["png"] * n
                 oks = [True] * n
-            if ok_ix:
+                hashes = ahash_batch(G) if n else hashes
+            elif ok_ix:
                 hs = ahash_batch(np.stack(imgs))
                 for i, hx in zip(ok_ix, hs):
                     hashes[i] = hx

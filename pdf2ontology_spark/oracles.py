@@ -279,19 +279,18 @@ def _canonical_ctes(lsh_k: int, lsh_bands: int, jaccard: float) -> str:
     scheme) -> LSH bands -> Jaccard-verified bridge pairs -> connected
     components via a recursive CTE -> surface->canonical_id mapping.
 
-    This is a true independent recomputation — the minhash uses the
-    same deterministic universal-hash family as the Spark plan (one
-    md5 per gram, dedup.mix_consts multiply-mod mixes), so band
-    collisions (and any banding misses) agree bit-for-bit.
+    This is a true independent recomputation — the minhash uses the same
+    deterministic md5('{i}:'||shingle) family, so band collisions (and
+    any banding misses) agree bit-for-bit with the Spark plan.
     """
-    from pdf2ontology_spark.oracles_data import mh_mix_aggs
-
     r = lsh_k // lsh_bands
     key_sql = (
         "CASE WHEN entity_type IN ('numeric','date') THEN trim(name) "
         f"ELSE {normalize_sql('name')} END"
     )
-    mh_aggs = mh_mix_aggs(lsh_k)
+    mh_aggs = ",\n    ".join(
+        f"min(substring(md5('{i}:' || shingle), 1, 16)) AS mh_{i}" for i in range(lsh_k)
+    )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT rep_id, entity_type, {b} AS band, "
         + "md5("

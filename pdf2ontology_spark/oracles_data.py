@@ -56,16 +56,28 @@ SELECT md5({text_col}) AS content_hash, count(*) AS n_docs,
 FROM {source} GROUP BY 1 HAVING count(*) >= 2"""
 
 
-def mh_mix_aggs(k: int, shingle_expr: str = "shingle") -> str:
+def mh_base_cte(name: str, src: str, keys: str) -> str:
+    """CTE computing the shingle's two 32-bit md5-prefix halves ONCE
+    per row (inner select materializes the digest; ``hexval`` then
+    only reads its digits) — the SQL-side 'one md5 per shingle'."""
+    return (
+        f"{name} AS (SELECT {keys}, {hexval('h5', 1, 8)} AS mhb1, "
+        f"{hexval('h5', 9, 8)} AS mhb2 "
+        f"FROM (SELECT {keys}, md5(shingle) AS h5 FROM {src}))"
+    )
+
+
+def mh_mix_aggs(k: int) -> str:
     """The universal-hash MinHash aggregations (dedup.mix_consts
-    family): ONE md5 per shingle, k multiply-mod mixes — digit-wise
-    hex->int via ``hexval`` since DuckDB lacks a conversion."""
+    family) over the mhb1/mhb2 halves of a ``mh_base_cte``."""
     from pdf2ontology_spark.operators.dedup import MINHASH_P, mix_consts
 
-    A, B = mix_consts(k)
-    base = hexval(f"md5({shingle_expr})", 1, 8)
+    A1, A2, B = mix_consts(k)
+    P = MINHASH_P
     return ",\n    ".join(
-        f"min(({A[i]} * {base} + {B[i]}) % {MINHASH_P}) AS mh_{i}" for i in range(k)
+        f"min((({A1[i]} * mhb1) % {P} + ({A2[i]} * mhb2) % {P} + {B[i]}) % {P})"
+        f" AS mh_{i}"
+        for i in range(k)
     )
 
 
@@ -75,9 +87,10 @@ def _mh_aggs() -> str:
 
 def minhash_signature_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""
-WITH {shingles_cte(source, id_col, text_col)}
+WITH {shingles_cte(source, id_col, text_col)},
+{mh_base_cte("mhb", "shingles", "id")}
 SELECT id, {_mh_aggs()}
-FROM shingles GROUP BY id"""
+FROM mhb GROUP BY id"""
 
 
 def minhash_pairs_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -88,7 +101,8 @@ def minhash_pairs_sql(source: str = "documents", id_col: str = "doc_id", text_co
         band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS band_key FROM sig")
     return f"""
 WITH {shingles_cte(source, id_col, text_col)},
-sig AS (SELECT id, {_mh_aggs()} FROM shingles GROUP BY id),
+{mh_base_cte("mhb", "shingles", "id")},
+sig AS (SELECT id, {_mh_aggs()} FROM mhb GROUP BY id),
 bands AS ({" UNION ALL ".join(band_rows)})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1343,7 +1357,8 @@ def dedup_clusters_sql(
     )
     return f"""
 WITH RECURSIVE {shingles_cte(source, id_col, text_col).lstrip()},
-msig AS MATERIALIZED (SELECT id, {_mh_aggs()} FROM shingles GROUP BY id),
+{mh_base_cte("mhb", "shingles", "id")},
+msig AS MATERIALIZED (SELECT id, {_mh_aggs()} FROM mhb GROUP BY id),
 mbands AS MATERIALIZED ({band_rows}),
 cand AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

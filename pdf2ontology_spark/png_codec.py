@@ -266,7 +266,8 @@ def decode_png_gray_batch(blobs) -> np.ndarray:
         f = filters[:, y]
         r = rows[:, y]
         # None/Sub start from the raw row; Up adds the prior row whole
-        cur = np.where((f == 2)[:, None], (r + prev) & 0xFF, r).copy()
+        # (np.where allocates a fresh array — safe to mutate in place)
+        cur = np.where((f == 2)[:, None], (r + prev) & 0xFF, r)
         f1 = f == 1
         f3 = f == 3
         f4 = f == 4
@@ -276,12 +277,13 @@ def decode_png_gray_batch(blobs) -> np.ndarray:
             # Paeth's (a=c=0) predictor resolves to b = prev
             cur[f3, 0] = (cur[f3, 0] + prev[f3, 0] // 2) & 0xFF
             cur[f4, 0] = (cur[f4, 0] + prev[f4, 0]) & 0xFF
+            any_f3 = bool(f3.any())
             any_f4 = bool(f4.any())
             for x in range(1, w):
                 a = cur[:, x - 1]
                 b = prev[:, x]
                 pred = np.where(f1, a, 0)
-                if f3.any():
+                if any_f3:
                     pred = np.where(f3, (a + b) // 2, pred)
                 if any_f4:
                     c = prev[:, x - 1]

@@ -152,7 +152,10 @@ def test_batch_decode_bitequal_to_single_across_filters():
     for b in blobs:
         _w, _h, raw = png_codec._inflate_scanlines(b)
         seen |= set(raw[:: 16 + 1])
-    assert seen >= {0, 1, 2, 4}, f"filter mix too narrow for the pin: {sorted(seen)}"
+    assert seen >= {0, 1, 2, 3, 4}, (
+        f"filter mix too narrow for the pin (every defilter branch must "
+        f"be live, incl. Average): {sorted(seen)}"
+    )
     single = np.stack([png_codec.decode_png_gray(b) for b in blobs])
     batch = png_codec.decode_png_gray_batch(blobs)
     assert (single == batch).all()

@@ -235,57 +235,74 @@ def expand_spans(cells: DataFrame) -> DataFrame:
 def grid_to_row_maps(cells: DataFrame) -> DataFrame:
     """J5 (second half) + W4: header row = first row with any non-empty
     cell; every later row becomes an ordered {header -> value} map
-    (table_processor_paddlex.py:320-338)."""
-    w_tbl = Window.partitionBy(*KEY)
-    w_col = Window.partitionBy(*KEY, "col")
-    # bbox coverage is not rectangular, so span expansion can land on a
-    # position that also holds a surviving normal cell; one deterministic
-    # winner per (row, col) — non-empty text first, then lexicographic —
-    # or map_from_entries aborts with DUPLICATED_MAP_KEY (the reference's
-    # mutable dict silently last-wins here)
-    w_pos = Window.partitionBy(*KEY, "row", "col").orderBy(
-        F.col("text") == "", "text"
-    )
-    cells = (
-        cells.withColumn("_pk", F.row_number().over(w_pos))
-        .filter(F.col("_pk") == 1)
-        .drop("_pk")
-    )
-    first_content_row = F.min(F.when(F.col("text") != "", F.col("row"))).over(w_tbl)
-    df = cells.withColumn("hrow", first_content_row).withColumn(
-        "header", F.max(F.when(F.col("row") == F.col("hrow"), F.col("text"))).over(w_col)
-    )
-    base_key = F.when(
-        F.col("header").isNull() | (F.col("header") == ""),
-        F.concat(F.lit("Column_"), "col"),
-    ).otherwise(F.col("header"))
-    # duplicate header labels ('Min'/'Max' groups, alike unit columns)
-    # would abort the job with DUPLICATED_MAP_KEY: disambiguate every
-    # non-first occurrence with its column index (deterministic)
-    w_key = Window.partitionBy(*KEY, "bkey").orderBy("col")
-    df = df.withColumn("bkey", base_key).withColumn(
-        "key",
-        F.when(
-            F.dense_rank().over(w_key) > 1,
-            F.concat(F.col("bkey"), F.lit("_"), F.col("col")),
-        ).otherwise(F.col("bkey")),
-    )
-    entries = F.transform(
+    (table_processor_paddlex.py:320-338).
+
+    ONE shuffle: the expanded cells are collected per table and the
+    entire construction — (row, col) winner dedup, header-row pick,
+    per-column key with fallback + duplicate-label disambiguation,
+    per-row map assembly — runs as array expressions over the (tiny,
+    tens-of-cells) per-table group. The previous form spent FOUR window
+    shuffles plus a final groupBy on the same keys:
+      - winner per (row, col): cells arrive sorted by (r, c, empty, t),
+        so the winner is the first element of each (r, c) run (the old
+        row_number-over-(text='' , text) order, exactly);
+      - hrow = min r with non-empty t (null -> no data rows, as before);
+      - per-column key: header text at (hrow, c) if non-empty else
+        'Column_c'; a column whose label already appeared at a smaller
+        column index gets the '_c' suffix (the old dense_rank > 1);
+      - rows > hrow become ordered maps (keys in column order)."""
+    g = cells.groupBy(*KEY).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
+                    F.col("row").alias("r"),
                     F.col("col").alias("c"),
-                    F.col("key").alias("k"),
-                    F.col("text").alias("v"),
+                    (F.col("text") == "").cast("int").alias("e"),
+                    F.col("text").alias("t"),
                 )
             )
-        ),
-        lambda s: F.struct(s["k"].alias("key"), s["v"].alias("value")),
+        ).alias("cs")
     )
-    return (
-        df.filter(F.col("row") > F.col("hrow"))
-        .groupBy(*KEY, "row")
-        .agg(F.map_from_entries(entries).alias("row_map"))
+    # winner per (r, c): first of each run (greatest() keeps the i=0
+    # probe in bounds under ANSI; it compares cs[0] with itself, and
+    # the i = 0 arm wins regardless)
+    g = g.select(
+        *KEY,
+        F.expr(
+            "filter(cs, (s, i) -> i = 0 OR NOT "
+            "(cs[greatest(i - 1, 0)].r = s.r AND cs[greatest(i - 1, 0)].c = s.c))"
+        ).alias("ds"),
+    )
+    g = g.select(
+        *KEY, "ds",
+        F.expr("array_min(transform(filter(ds, s -> s.e = 0), s -> s.r))").alias("hrow"),
+    ).filter(F.col("hrow").isNotNull())
+    # per-column final key, in ascending column order
+    g = g.select(
+        *KEY, "ds", "hrow",
+        F.expr(
+            "transform(array_sort(array_distinct(transform(ds, s -> s.c))), c -> "
+            "named_struct('c', c, 'k', coalesce(nullif("
+            "  get(transform(filter(ds, s -> s.r = hrow AND s.c = c), s -> s.t), 0), ''),"
+            "  concat('Column_', c))))"
+        ).alias("bk"),
+    )
+    g = g.select(
+        *KEY, "ds", "hrow",
+        F.expr(
+            "transform(bk, (x, i) -> named_struct('c', x.c, 'k', "
+            "CASE WHEN exists(slice(bk, 1, i), y -> y.k = x.k) "
+            "THEN concat(x.k, '_', x.c) ELSE x.k END))"
+        ).alias("km"),
+    )
+    rows_expr = F.expr(
+        "transform(array_distinct(transform(filter(ds, s -> s.r > hrow), s -> s.r)), "
+        "r -> named_struct('row', r, 'row_map', map_from_entries("
+        "transform(filter(ds, s -> s.r = r), "
+        "s -> named_struct('key', get(filter(km, k -> k.c = s.c), 0).k, 'value', s.t)))))"
+    )
+    return g.select(*KEY, F.explode(rows_expr).alias("o")).select(
+        *KEY, F.col("o.row").alias("row"), F.col("o.row_map").alias("row_map")
     )
 
 

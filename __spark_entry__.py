@@ -22,6 +22,7 @@ from pdf2ontology_spark.operators import (
     dedup,
     graph,
     grid,
+    grid_fused,
     linking,
     media,
     ner,
@@ -747,12 +748,16 @@ def q_quarantine_accounting(spark, sf_dir):
 
 
 # ------------------------------------------- grid reconstruction family
+# Since round 7 the three fused queries (assign / spanning / row_maps)
+# run through operators/grid_fused.py: ONE detections scan + ONE
+# per-table aggregation + an Arrow-batched kernel, replacing the staged
+# band-join + theta-join + 4 window shuffles whose cost was interpreted
+# higher-order-function evaluation (OPTIMIZATION_r07.md). The staged
+# operators remain in operators/grid.py and tests/test_grid_fused.py
+# pins row-for-row equivalence on the synthetic corpora; both paths
+# share the same DuckDB oracles.
 def _grid_assigned(spark, sf_dir):
-    # band_arrays derives BOTH band families from one pass (the composed
-    # index_bands x2 route re-scans the detections per family); with the
-    # linear assign/spanning operators the whole grid family reads the
-    # detections parquet 3x with disjoint pushed bucket filters — one
-    # logical pass over the input (pinned in tests/test_plans.py)
+    # staged twin, kept for the fused-equivalence tests
     d = tables.load_detections(spark, sf_dir)
     cells = d.filter(F.col("bucket") == "cell").select(
         "doc_id", "table_id", F.col("item_id").alias("cell_id"), "x", "y", "w", "h", "text"
@@ -776,19 +781,15 @@ def q_grid_bands(spark, sf_dir):
 
 
 def q_grid_assign_cells(spark, sf_dir):
-    assigned, _ = _grid_assigned(spark, sf_dir)
-    return assigned.select("doc_id", "table_id", "cell_id", "row", "col", "text")
+    return grid_fused.assign_cells_fused(tables.load_detections(spark, sf_dir))
 
 
 def q_grid_spanning_cells(spark, sf_dir):
-    return _grid_final(spark, sf_dir).select(
-        "doc_id", "table_id", "row", "col", "text", "cell_type", "rowspan", "colspan"
-    )
+    return grid_fused.spanning_cells_fused(tables.load_detections(spark, sf_dir))
 
 
 def q_grid_row_maps(spark, sf_dir):
-    fin = _grid_final(spark, sf_dir).filter(F.col("cell_type") != "empty")
-    maps = grid.grid_to_row_maps(grid.expand_spans(fin))
+    maps = grid_fused.row_maps_fused(tables.load_detections(spark, sf_dir))
     return maps.select(
         "doc_id",
         "table_id",

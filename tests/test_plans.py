@@ -87,19 +87,28 @@ def test_graph_queries_read_checkpointed_stage(spark):
 
 
 def test_grid_family_single_logical_pass(spark):
-    """The grid family must read the detections parquet at most 3x, with
-    DISJOINT pushed bucket filters (cell | row+column | spanning_cell) —
-    one logical pass over the input. The pre-round-5 composition
-    re-expanded the detections subtree 17x in q_grid_row_maps."""
-    for q, max_scans in [
-        (entry.q_grid_row_maps, 3),
-        (entry.q_grid_spanning_cells, 3),
-        (entry.q_grid_assign_cells, 2),
+    """The fused grid family (round 7) must read the detections parquet
+    exactly ONCE with the bucket filter pushed to the scan, shuffle once
+    (the per-table aggregation) and run the per-table logic in ONE
+    Arrow-batched kernel — no windows, no joins. The pre-round-5
+    composition re-expanded the detections subtree 17x in
+    q_grid_row_maps; the round-5/6 staged path still scanned 3x and
+    shuffled 4x."""
+    for q in [
+        entry.q_grid_row_maps,
+        entry.q_grid_spanning_cells,
+        entry.q_grid_assign_cells,
     ]:
         plan = plan_of(q(spark, SF))
         n = len(re.findall(r"\(\d+\) Scan parquet", plan))
-        assert n <= max_scans, f"{q.__name__}: {n} scans > {max_scans}"
-        assert "EqualTo(bucket,cell)" in plan, "cell filter must push to the scan"
+        assert n == 1, f"{q.__name__}: {n} scans != 1"
+        assert re.search(r"PushedFilters: \[[^\]]*In\(bucket", plan), (
+            "bucket filter must push to the scan"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, (
+            f"{q.__name__}: only the per-table aggregation may shuffle"
+        )
+        assert "MapInPandas" in plan and "Window" not in plan
 
 
 def test_shingle_stage_materializes_words_once(spark):

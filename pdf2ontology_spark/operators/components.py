@@ -71,33 +71,104 @@ def _local_contract(sym: DataFrame) -> DataFrame:
     return sym.mapInPandas(contract, sym.schema).filter(F.col("a") != F.col("b"))
 
 
+def _gather_components(sym: DataFrame) -> DataFrame:
+    """Exact single-task union-find over a (small, already-contracted)
+    symmetric edge list: (node, component = min id). One executor task,
+    ONE job when consumed — versus 2 + 2*rounds driver-synchronized jobs
+    for the iterative loop, which dominated the canonicalization query's
+    wall time at bench scale (the loop's per-round work was milliseconds
+    of data on 32 partitions).
+
+    Node ordering note: roots are the per-component MIN under python's
+    ``<``, which matches Spark's ordering for the id types used here
+    (strings compare as code points == UTF-8 bytes; ints/longs are
+    ints)."""
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = list(parent)
+        yield pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+
+    from pyspark.sql import types as T
+
+    t = sym.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", t), T.StructField("component", t)]
+    )
+    return sym.coalesce(1).mapInPandas(gather, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     pre_contract: bool = True,
+    gather_threshold: int = 2_000_000,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) where component is the
     minimum node id in the connected component. Nodes appear iff they
-    occur in the edge list. Deterministic."""
+    occur in the edge list. Deterministic.
+
+    After the per-partition contraction, the surviving edge count is
+    checked once (a cheap job on the just-materialized list): at or
+    under ``gather_threshold`` edges the components are finished with a
+    single-task union-find (``_gather_components``) — exact, one job,
+    no driver-synchronized rounds; above it the iterative min-label
+    loop runs as before. Entity-linking bridge graphs are tiny by
+    construction (LSH-verified near-dup pairs between exact-group
+    reps), so production corpora take the gather path for the final
+    step while the heavy lifting stays in the distributed contraction.
+    Results under ``broadcast_threshold`` edges additionally carry a
+    broadcast hint so the caller's label join skips its shuffle."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # materialize the edge list ONCE: every consumer (size probe, loop
+    # rounds, gather) re-evaluates the whole upstream pair-generation
+    # plan (LSH banding included) without it — measured as the CC step
+    # costing 15s for a 12-edge input at sf0.1. Lazy checkpoint + count
+    # = one materializing pass instead of eager + count.
+    sym = sym.localCheckpoint(eager=False)
+    n_edges = sym.count()
+    if n_edges <= gather_threshold:
+        # tiny graph: the per-partition contraction machinery (a python
+        # stage + another distinct round) costs more than the problem —
+        # gather the raw edges straight into one union-find task
+        labels = _gather_components(sym)
+        if n_edges <= broadcast_threshold:
+            labels = labels.hint("broadcast")
+        return labels
     if pre_contract:
         star = _local_contract(sym)
         sym = (
             star.unionByName(star.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-    # materialize the edge list ONCE: every loop round joins against it,
-    # and without this each round's job re-evaluates the whole upstream
-    # pair-generation plan (LSH banding included) — measured as the CC
-    # step costing 15s for a 12-edge input at sf0.1
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -81,9 +81,15 @@ def _fuzzy_base(reps: DataFrame) -> DataFrame:
     )
 
 
-def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
+def banded_candidates(fuzzy_base: DataFrame, with_sizes: bool = False) -> DataFrame:
     """Raw LSH band-collision pairs (id_a < id_b) between reps — the
-    blocking stage only, before any verification."""
+    blocking stage only, before any verification. ``with_sizes=True``
+    additionally carries |grams| through the band rows as (na, nb) —
+    one extra int per shuffled band row, which lets the size prefilter
+    run inline on the join output instead of via two dimension joins
+    (round-7: those joins were two of the candidate pipeline's ~10
+    shuffle stages, pure overhead at every scale since the band rows
+    carry the int anyway)."""
     sh = fuzzy_base.select(
         "surface_id", "entity_type", "grams", F.explode("grams").alias("shingle")
     )
@@ -99,7 +105,11 @@ def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
         )
         for i in range(LSH_K)
     ]
-    sig = sh.groupBy("surface_id", "entity_type").agg(*aggs)
+    # |grams| for free: sh is one row per DISTINCT gram, so count(*)
+    # per surface is exactly size(grams)
+    sig = sh.groupBy("surface_id", "entity_type").agg(
+        *aggs, F.count("*").cast("int").alias("ng")
+    )
     r = LSH_K // LSH_BANDS
     band_structs = [
         F.struct(
@@ -111,43 +121,38 @@ def banded_candidates(fuzzy_base: DataFrame) -> DataFrame:
         for b in range(LSH_BANDS)
     ]
     bands = sig.select(
-        "surface_id", "entity_type", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("surface_id", "entity_type", "bb.band", "bb.band_key")
+        "surface_id", "entity_type", "ng", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("surface_id", "entity_type", "ng", "bb.band", "bb.band_key")
 
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["entity_type", "band", "band_key"])
-        .filter(F.col("a.surface_id") < F.col("b.surface_id"))
-        .select(
-            F.col("a.surface_id").alias("id_a"), F.col("b.surface_id").alias("id_b")
-        )
-        .distinct()
+    a = bands.select(
+        F.col("surface_id").alias("id_a"), F.col("ng").alias("na"),
+        "entity_type", "band", "band_key",
     )
+    b = bands.select(
+        F.col("surface_id").alias("id_b"), F.col("ng").alias("nb"),
+        "entity_type", "band", "band_key",
+    )
+    joined = a.join(b, ["entity_type", "band", "band_key"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    cols = ["id_a", "id_b", "na", "nb"] if with_sizes else ["id_a", "id_b"]
+    return joined.select(*cols).distinct()
 
 
 def prefiltered_candidates(fuzzy_base: DataFrame) -> DataFrame:
-    """Band candidates passed through the SIZE prefilter: the gram
-    arrays are projected down to |grams| for the candidate joins, so
-    the wide arrays never flow through the O(candidates) stage.
+    """Band candidates passed through the SIZE prefilter.
     Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so ``min >= t*max``
     (epsilon-slack so float rounding can only over-admit, never wrongly
     drop) is a NECESSARY condition for the threshold — a pure
     prefilter: every surviving pair still gets the exact Jaccard
     verification, so no approximation (hash or otherwise) can ever
-    create a false link. At 100x reps this is the difference between
-    shuffling candidate_count wide arrays and candidate_count 8-byte
-    ints."""
-    cand = banded_candidates(fuzzy_base)
-    meta = fuzzy_base.select("surface_id", F.size("grams").alias("ng"))
+    create a false link. The sizes ride along the band rows
+    (``with_sizes`` — one int, not the wide gram arrays), so the filter
+    is inline on the band join's output: filtering before or after the
+    pair ``distinct`` is equivalent because it depends only on
+    (id_a, id_b)-functional values."""
     return (
-        cand.join(
-            meta.select(F.col("surface_id").alias("id_a"), F.col("ng").alias("na")),
-            "id_a",
-        )
-        .join(
-            meta.select(F.col("surface_id").alias("id_b"), F.col("ng").alias("nb")),
-            "id_b",
-        )
+        banded_candidates(fuzzy_base, with_sizes=True)
         .filter(
             F.least("na", "nb")
             >= F.lit(JACCARD_THRESHOLD) * F.greatest("na", "nb") - F.lit(1e-9)

@@ -27,6 +27,25 @@ def test_connected_components_basic(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_gather_equals_loop(spark):
+    """Round-7 single-task gather finisher must produce the identical
+    labels as the iterative min-label loop (forced via
+    gather_threshold=0) — chains, a cycle, and a singleton edge."""
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("m", "n"), ("n", "o"), ("o", "m"), ("z", "q")],
+        "src string, dst string",
+    )
+    fast = {r.node: r.component for r in components.connected_components(edges).collect()}
+    slow = {
+        r.node: r.component
+        for r in components.connected_components(edges, gather_threshold=0).collect()
+    }
+    assert fast == slow == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "m": "m", "n": "m", "o": "m", "q": "q", "z": "q",
+    }
+
+
 def test_org_clusters_pairwise_exact(spark):
     trips = run_kg_pipeline(spark, "/root/testdata/sf0.001")["triples"]
     out = linking.canonicalize(trips)

@@ -423,7 +423,18 @@ def embedding_candidates(
 
     if planes_per_band is None:
         planes_per_band = similarity.planes_for_corpus(emb.count() if n is None else n)
-    bb = similarity.banded_signatures(emb, id_col, vec_col, planes_per_band, bands, dim)
+    # compute the signature table ONCE: both self-join sides read the
+    # persisted keys, where referencing banded_signatures twice
+    # duplicated the whole scan + Arrow-UDF subtree in the physical
+    # plan (round-7 profile: the duplicated signature stage was most of
+    # the candidate cost). persist() (not localCheckpoint) keeps the
+    # plan build job-free — a lazy checkpoint's .rdd pre-executes the
+    # spread exchange under AQE — and is the same stage-sharing pattern
+    # linking.canonicalize uses for its surfaces table.
+    keys = similarity.banded_keys(
+        emb, id_col, vec_col, planes_per_band, bands, dim
+    ).persist()
+    bb = keys.select("id", F.posexplode("keys").alias("band", "band_key"))
     probed = similarity.probe_signatures(bb, planes_per_band)
     return (
         bb.withColumnRenamed("id", "id_a")

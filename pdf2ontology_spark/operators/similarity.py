@@ -225,7 +225,12 @@ def _band_keys_udf(planes_per_band: int, bands: int, dim: int):
                 keys[:, b] += bits[:, b * planes_per_band + j].astype(np.int32) << j
         return pd.Series(list(keys))
 
-    return band_keys
+    # the function IS deterministic; the marker stops the optimizer from
+    # pushing the posexplode-derived (size(keys) > 0) filter below the
+    # spread exchange, which re-evaluated this UDF a second time per row
+    # (guide §4.4 — two ArrowEvalPython nodes for one call, seen in the
+    # round-7 before-plans of every banded-LSH query)
+    return band_keys.asNondeterministic()
 
 
 def probe_signatures(bb: DataFrame, planes_per_band: int) -> DataFrame:
@@ -270,6 +275,24 @@ def banded_signatures(
     biased signatures. ``spread=False`` skips the small-scan
     repartition for inputs known to be tiny (e.g. a query batch that
     broadcasts later anyway)."""
+    return banded_keys(emb, id_col, vec_col, planes_per_band, bands, dim, spread).select(
+        "id", F.posexplode("keys").alias("band", "band_key")
+    )
+
+
+def banded_keys(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 4,
+    bands: int = 8,
+    dim: int | None = None,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, keys array<int>) — the pre-explode form of
+    ``banded_signatures``, exposed so a caller that derives BOTH sides
+    of a self-join from the signatures (``dedup.embedding_candidates``)
+    can compute them once and cut the duplicated scan + UDF subtree."""
     if dim is None:
         dim = _vec_dim(emb, vec_col)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -277,9 +300,7 @@ def banded_signatures(
         # the signature kernel is the expensive stage; see spread_small_scan
         base = spread_small_scan(base, "id")
     keys = _band_keys_udf(planes_per_band, bands, dim)
-    return base.select("id", keys(F.col("v")).alias("keys")).select(
-        "id", F.posexplode("keys").alias("band", "band_key")
-    )
+    return base.select("id", keys(F.col("v")).alias("keys"))
 
 
 def brute_topk(

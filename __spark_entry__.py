@@ -59,6 +59,24 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spans_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_spans WITHOUT the loader's small-corpus doc_id repartition —
+    for the media family, whose operators immediately re-salt on
+    xxhash64(doc_id, media_ref) (or need no shuffle at all), so the
+    loader exchange moved the whole corpus once for nothing (round-7:
+    ~0.3-0.5s per media query at sf0.1). Values are identical; only the
+    initial row distribution differs."""
+    return segment.explode_spans(
+        tables.load_documents_spans(spark, sf_dir, repartition=False)
+    ).select(
+        "doc_id",
+        "kind",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "offset",
+    )
+
+
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG blob store (media_ref, png) — real encoded bytes the
     media operators decode with the engine's stdlib PNG reader."""
@@ -444,7 +462,7 @@ def q_classify_documents(spark, sf_dir):
 
 
 def q_assess_media(spark, sf_dir):
-    return condition.assess_media(_spans(spark, sf_dir)).select(
+    return condition.assess_media(_spans_m(spark, sf_dir)).select(
         "doc_id",
         "offset",
         "media_ref",
@@ -463,7 +481,7 @@ def q_assess_media(spark, sf_dir):
 def q_assess_media_real(spark, sf_dir):
     # skew_deg / rotation_deg are PIXEL-DERIVED since round 5
     # (orientation.py: Hough lines + ink moments over the raster)
-    return condition.assess_media_real(_spans(spark, sf_dir), _blobs(spark, sf_dir)).select(
+    return condition.assess_media_real(_spans_m(spark, sf_dir), _blobs(spark, sf_dir)).select(
         "doc_id",
         "offset",
         "media_ref",
@@ -487,7 +505,7 @@ def q_skew_rotation(spark, sf_dir):
     # text/edge orientations, the banded rotation decision + confidence,
     # Hough-line skew + confidence + line count — every column
     # recomputed independently by the DuckDB twin (skew_rotation_sql)
-    return media.assess_media_full(_spans(spark, sf_dir), _blobs(spark, sf_dir)).select(
+    return media.assess_media_full(_spans_m(spark, sf_dir), _blobs(spark, sf_dir)).select(
         "doc_id",
         "offset",
         "media_ref",
@@ -506,7 +524,7 @@ def q_preprocessed_media(spark, sf_dir):
     # action chain transforms the actual raster (operators/imaging.py)
     # and the DuckDB twin recomputes every stage on per-image lists
     out = media.apply_actions(
-        condition.assess_media(_spans(spark, sf_dir)), _blobs(spark, sf_dir)
+        condition.assess_media(_spans_m(spark, sf_dir)), _blobs(spark, sf_dir)
     )
     return out.select(
         "doc_id",
@@ -524,7 +542,7 @@ def q_preprocessed_media(spark, sf_dir):
 
 
 def q_condition_rollup(spark, sf_dir):
-    return condition.condition_rollup(condition.assess_media(_spans(spark, sf_dir)))
+    return condition.condition_rollup(condition.assess_media(_spans_m(spark, sf_dir)))
 
 
 # --------------------------------------------------------- relational
@@ -817,30 +835,30 @@ def q_dominant_angle(spark, sf_dir):
 
 # ------------------------------------------------------------- media
 def q_media_features(spark, sf_dir):
-    return media.media_features(_spans(spark, sf_dir), _blobs(spark, sf_dir))
+    return media.media_features(_spans_m(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_media_quality(spark, sf_dir):
     # REAL metric math (the reference QualityAssessor's kernels in
     # numpy) over the deterministic synthetic raster; the DuckDB twin
     # recomputes the same kernels in closed-form SQL.
-    return media.media_quality(_spans(spark, sf_dir), _blobs(spark, sf_dir))
+    return media.media_quality(_spans_m(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_content_layout(spark, sf_dir):
     # REAL projection math (the reference ContentAnalyzer's column
     # detector) over the deterministic synthetic raster.
-    return media.content_layout(_spans(spark, sf_dir), _blobs(spark, sf_dir))
+    return media.content_layout(_spans_m(spark, sf_dir), _blobs(spark, sf_dir))
 
 
 def q_media_stats(spark, sf_dir):
     return media.media_stats(
-        media.media_features(_spans(spark, sf_dir), _blobs(spark, sf_dir))
+        media.media_features(_spans_m(spark, sf_dir), _blobs(spark, sf_dir))
     )
 
 
 def q_frame_samples(spark, sf_dir):
-    return media.frame_samples(_spans(spark, sf_dir), interval_s=2, max_frames=32)
+    return media.frame_samples(_spans_m(spark, sf_dir), interval_s=2, max_frames=32)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

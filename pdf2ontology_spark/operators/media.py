@@ -52,6 +52,33 @@ synth_raster = raster.synth_raster
 synth_rasters_batch = raster.synth_rasters_batch
 
 
+def _broadcast_if_small(blobs: DataFrame) -> DataFrame:
+    """Broadcast-hint the blob side when its on-disk size is under the
+    session's autoBroadcastJoinThreshold (a driver-side file stat — no
+    job). The hint matters because the JOINED side must not win the
+    broadcast: when the planner broadcasts the salted media side
+    instead, the Arrow decode stage inherits the BLOB SCAN's split
+    count and the salt exchange is dead weight (round-7: media_quality
+    ran its kernels on ~5 partitions instead of 32, 2x slower). A big
+    blob store keeps planner choice (both sides shuffle on media_ref;
+    at deployment scale the store is bucketed by media_ref and the join
+    is co-located)."""
+    import os
+
+    try:
+        size = sum(
+            os.path.getsize(f.removeprefix("file://").removeprefix("file:"))
+            for f in blobs.inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — non-file sources keep planner choice
+        return blobs
+    threshold = int(
+        blobs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
+        .removesuffix("b")
+    )
+    return F.broadcast(blobs) if 0 < size < threshold else blobs
+
+
 def _media_base(spans: DataFrame, blobs: DataFrame | None, salt: bool = True) -> DataFrame:
     """The shared head of every media operator: media-kind spans,
     optionally joined with the blob store (inner join on media_ref —
@@ -74,7 +101,7 @@ def _media_base(spans: DataFrame, blobs: DataFrame | None, salt: bool = True) ->
         n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
         media = media.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
     if blobs is not None:
-        media = media.join(blobs.select("media_ref", "png"), "media_ref")
+        media = media.join(_broadcast_if_small(blobs).select("media_ref", "png"), "media_ref")
     return media
 
 
@@ -562,10 +589,13 @@ def apply_actions(assessed: DataFrame, blobs: DataFrame | None = None) -> DataFr
     cols = assessed.select(
         "doc_id", "offset", "media_ref", "actions", "skew_deg", "rotation_deg"
     )
-    if blobs is not None:
-        cols = cols.join(blobs.select("media_ref", "png"), "media_ref")
+    # salt BEFORE the blob join (same order as _media_base): the
+    # exchange moves only the narrow plan rows — the blob bytes reach
+    # the Arrow stage through the join, never through the salt shuffle
     n_part = cols.sparkSession.conf.get("spark.sql.shuffle.partitions")
     cols = cols.repartition(int(n_part), F.xxhash64("doc_id", "media_ref"))
+    if blobs is not None:
+        cols = cols.join(_broadcast_if_small(blobs).select("media_ref", "png"), "media_ref")
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

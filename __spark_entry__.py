@@ -133,11 +133,20 @@ def q_span_invariant(spark, sf_dir):
 
 
 def q_doc_stats(spark, sf_dir):
-    return segment.doc_stats(_spans(spark, sf_dir))
+    # round-7 in-row form: the documents table is already one row per
+    # doc, so the staged explode+groupBy shuffled the corpus to rebuild
+    # state it started with; zero exchanges now (equivalence pinned in
+    # tests/test_segment_fused.py)
+    return segment.doc_stats_docs(
+        tables.load_documents_spans(spark, sf_dir, repartition=False)
+    )
 
 
 def q_reassemble_text(spark, sf_dir):
-    return segment.reassemble_text(_spans(spark, sf_dir))
+    # round-7 in-row form — same rationale as q_doc_stats
+    return segment.reassemble_text_docs(
+        tables.load_documents_spans(spark, sf_dir, repartition=False)
+    )
 
 
 def q_table_cells(spark, sf_dir):

@@ -119,6 +119,67 @@ def merged_text_sentences(spans: DataFrame) -> DataFrame:
     )
 
 
+_TEXT_KINDS = ["text", "title", "header", "caption"]
+
+
+def reassemble_text_docs(docs: DataFrame) -> DataFrame:
+    """In-row twin of ``reassemble_text`` over the raw documents table:
+    the input is already one row per document, so the staged
+    explode -> groupBy(collect_list) round-tripped the whole corpus
+    through a shuffle to rebuild per-document state it started with
+    (round-7, guide §2.4). Same output: text-kind spans sorted by
+    (offset, text) — the staged collect_list struct order — joined with
+    newlines; documents with no text-kind spans emit nothing (the
+    staged groupBy never saw them)."""
+    kinds = F.array(*[F.lit(k) for k in _TEXT_KINDS])
+    picked = F.filter(
+        F.col("spans"), lambda s: F.array_contains(kinds, s["kind"])
+    )
+    sorted_ = F.array_sort(
+        F.transform(
+            picked,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                F.coalesce(s["text"], F.lit("")).alias("text"),
+            ),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(sorted_, lambda s: s["text"]), "\n"
+            ).alias("document_text"),
+            F.size(picked).cast("long").alias("n_text_spans"),
+        )
+        .filter(F.col("n_text_spans") > 0)
+    )
+
+
+def doc_stats_docs(docs: DataFrame) -> DataFrame:
+    """In-row twin of ``doc_stats`` over the raw documents table — same
+    rationale as ``reassemble_text_docs``: zero shuffles, zero explode.
+    Documents with no spans emit nothing (the staged explode dropped
+    them)."""
+    spans = F.col("spans")
+
+    def n_kind(kind: str):
+        return F.size(F.filter(spans, lambda s: s["kind"] == kind)).cast("long")
+
+    return docs.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        n_kind("table").alias("n_tables"),
+        n_kind("media").alias("n_media"),
+        n_kind("text").alias("n_text"),
+        F.aggregate(
+            spans,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+        ).alias("total_chars"),
+    ).filter(F.col("n_spans") > 0)
+
+
 def doc_stats(spans: DataFrame) -> DataFrame:
     """Corpus/document statistics — reference's _compile_results
     (/root/reference/src/core/document_analyzer.py:230-272): per-doc span

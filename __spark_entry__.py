@@ -154,7 +154,11 @@ def q_table_cells(spark, sf_dir):
 
 
 def q_relationship_entries(spark, sf_dir):
-    return _entries(spark, sf_dir)
+    # round-7 fused form: one corpus scan, zero shuffles — the staged
+    # table_cells -> semantic_entries twin stays available as _entries
+    # (used by the triples_table queries) and equivalence is pinned in
+    # tests/test_triples_fused.py
+    return triples.semantic_entries_fused(_docs(spark, sf_dir))
 
 
 def q_triples_table(spark, sf_dir):

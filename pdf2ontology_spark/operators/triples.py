@@ -273,8 +273,72 @@ def _table_span_triples(doc_id: Column, span: Column, reference_strict: bool) ->
     )
 
 
-def _cells_triples(table_id: Column, cells: Column, reference_strict: bool) -> Column:
-    """Triples from a (once-materialized) normalized cell array."""
+def _table_span_entries(doc_id: Column, span: Column) -> Column:
+    """Array of semantic entries (incl. table_id) for ONE table span —
+    the in-row twin of tabulate.table_cells -> semantic_entries for that
+    span, built on the same parse and entry expressions as the fused
+    extraction."""
+    raw = F.from_json(F.coalesce(span["text"], F.lit("")), T.ArrayType(CELL))
+    parsed = F.transform(
+        F.filter(F.coalesce(raw, F.array().cast(T.ArrayType(CELL))), lambda c: c.isNotNull()),
+        lambda c: F.struct(
+            c["row"].alias("row"),
+            c["col"].alias("col"),
+            F.coalesce(c["text"], F.lit("")).alias("txt"),
+        ),
+    )
+    table_id = F.sha2(
+        F.concat_ws(":", doc_id, span["offset"].cast("string")), 256
+    )
+    return _bind(
+        parsed,
+        lambda cells: F.transform(
+            _cells_triples(table_id, cells, False, as_entries=True),
+            lambda e: F.struct(
+                table_id.alias("table_id"),
+                e["row_idx"].alias("row_idx"),
+                e["row_header"].alias("row_header"),
+                e["key"].alias("key"),
+                e["value"].alias("value"),
+            ),
+        ),
+    )
+
+
+def semantic_entries_fused(docs: DataFrame) -> DataFrame:
+    """Single-scan, shuffle-free twin of
+    tabulate.semantic_entries(tabulate.table_cells(spans)) over the raw
+    documents table — the same fusion as ``all_triples_fused`` stopped
+    at the entries stage (the staged path shuffled once for its three
+    window families and parsed the cell JSON under them). Equivalence
+    is pinned by tests/test_triples_fused.py and the shared DuckDB
+    oracle (q:relationship_entries)."""
+    doc_id = F.col("doc_id")
+    ents = F.flatten(
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "table"),
+            lambda s: _table_span_entries(doc_id, s),
+        )
+    )
+    return docs.select(doc_id, F.explode(ents).alias("e")).select(
+        "doc_id",
+        "e.table_id",
+        "e.row_idx",
+        "e.row_header",
+        "e.key",
+        "e.value",
+    )
+
+
+def _cells_triples(
+    table_id: Column, cells: Column, reference_strict: bool, as_entries: bool = False
+) -> Column:
+    """Triples from a (once-materialized) normalized cell array.
+    ``as_entries=True`` stops after the semantic-entry construction and
+    returns the raw array<struct<row_idx, row_header, key, value>> —
+    the in-row twin of tabulate.semantic_entries' per-table output,
+    shared so the fused entries query and the fused extraction cannot
+    drift apart."""
     ncols = F.array_max(F.transform(cells, lambda c: c["col"])) + F.lit(1)
     has_opts = F.exists(cells, lambda c: (c["row"] == 0) & (c["col"] >= 1))
     options = F.array_join(
@@ -392,6 +456,9 @@ def _cells_triples(table_id: Column, cells: Column, reference_strict: bool) -> C
             ),
         )
     )
+    if as_entries:
+        return entries
+
     def finalize(es: Column) -> Column:
         return F.transform(
             F.filter(es, lambda e: (e["value"] != "") & (e["key"] != "row_header")),

@@ -42,6 +42,20 @@ def test_fused_equals_composed(spark):
     _assert_same_multiset(triples.all_triples_fused(docs), _composed(spark))
 
 
+def test_fused_entries_equal_staged(spark):
+    """Round-7: the fused semantic-entries query (one scan, zero
+    shuffles) must equal tabulate.semantic_entries(table_cells(spans))
+    row-for-row."""
+    docs = tables.load_documents_spans(spark, SF)
+    staged = tabulate.semantic_entries(tabulate.table_cells(_spans(spark))).select(
+        "doc_id", "table_id", "row_idx", "row_header", "key", "value"
+    )
+    fused = triples.semantic_entries_fused(docs)
+    only_a = staged.exceptAll(fused).count()
+    only_b = fused.exceptAll(staged).count()
+    assert only_a == 0 and only_b == 0, f"staged-only={only_a} fused-only={only_b}"
+
+
 def test_fused_equals_composed_strict(spark):
     docs = tables.load_documents_spans(spark, SF)
     _assert_same_multiset(

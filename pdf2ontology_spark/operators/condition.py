@@ -32,72 +32,73 @@ def _hexval(h: Column, start: int, n: int) -> Column:
     return F.conv(F.substring(h, start, n), 16, 10).cast("long")
 
 
-def assess_media(spans: DataFrame) -> DataFrame:
-    """media spans -> condition metrics + quality + ordered action plan.
+# cache of the UNRESOLVED assess columns (pure expression ASTs, no
+# data/plan — see triples._FUSED_EXPR_CACHE): the withColumn-chain form
+# re-built ~300 py4j expression nodes per call, pure construction time
+_ASSESS_COLS: list[Column] | None = None
 
-    Output: (doc_id, offset, media_ref, brightness, contrast, sharpness,
-    noise, skew_deg, rotation_deg, quality, needs_processing, actions).
-    """
+
+def _assess_cols() -> list[Column]:
+    global _ASSESS_COLS
+    if _ASSESS_COLS is not None:
+        return _ASSESS_COLS
     h = F.sha2(F.col("media_ref"), 256)
     bi, ci = _hexval(h, 1, 4), _hexval(h, 5, 4)
     si, ni = _hexval(h, 9, 4), _hexval(h, 13, 4)
     skew_deg = (_hexval(h, 17, 4) % 21 - 10).cast("int")
     rotation_deg = ((_hexval(h, 21, 2) % 4) * 90).cast("int")
-
-    df = (
-        spans.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .withColumn("_bi", bi)
-        .withColumn("_ci", ci)
-        .withColumn("_si", si)
-        .withColumn("_ni", ni)
-        .withColumn("brightness", F.round(bi / 65535.0, 6))
-        .withColumn("contrast", F.round(ci / 65535.0, 6))
-        .withColumn("sharpness", F.round(si / 65535.0, 6))
-        .withColumn("noise", F.round(ni / 65535.0, 6))
-        .withColumn("skew_deg", skew_deg)
-        .withColumn("rotation_deg", rotation_deg)
-    )
     # weighted composite (0.3/0.2/0.3/0.2, A14) computed as ONE integer
     # expression divided once — float-tie-free across engines (a chained
     # double weighted sum differs by 1 ulp between Spark and DuckDB)
     quality = F.round(
-        (
-            3 * F.col("_ci") + 2 * F.col("_bi") + 3 * F.col("_si")
-            + 2 * (65535 - F.col("_ni"))
-        )
-        / 655350.0,
-        6,
+        (3 * ci + 2 * bi + 3 * si + 2 * (65535 - ni)) / 655350.0, 6
     )
     # thresholds are the REFERENCE's exact ones
     # (document_analysis_utils.py:450-464 + :768): contrast<0.4 ->
     # enhance_contrast, brightness<0.3 -> gamma_correction (its own
     # action, not a contrast clause), sharpness<0.3 -> sharpen,
     # noise>0.6 -> denoise, abs(skew)>=2.0 -> deskew
+    brightness = F.round(bi / 65535.0, 6)
+    contrast = F.round(ci / 65535.0, 6)
+    sharpness = F.round(si / 65535.0, 6)
+    noise = F.round(ni / 65535.0, 6)
     raw_actions = F.concat(
-        F.when(F.col("rotation_deg") != 0, F.array(F.lit("rotate"))).otherwise(F.array()),
-        F.when(F.abs(F.col("skew_deg")) >= 2, F.array(F.lit("deskew"))).otherwise(F.array()),
-        F.when(F.col("contrast") < 0.4, F.array(F.lit("enhance_contrast"))).otherwise(
-            F.array()
-        ),
-        F.when(F.col("brightness") < 0.3, F.array(F.lit("gamma_correction"))).otherwise(
-            F.array()
-        ),
-        F.when(F.col("noise") > 0.6, F.array(F.lit("denoise"))).otherwise(F.array()),
-        F.when(F.col("sharpness") < 0.3, F.array(F.lit("sharpen"))).otherwise(F.array()),
+        F.when(rotation_deg != 0, F.array(F.lit("rotate"))).otherwise(F.array()),
+        F.when(F.abs(skew_deg) >= 2, F.array(F.lit("deskew"))).otherwise(F.array()),
+        F.when(contrast < 0.4, F.array(F.lit("enhance_contrast"))).otherwise(F.array()),
+        F.when(brightness < 0.3, F.array(F.lit("gamma_correction"))).otherwise(F.array()),
+        F.when(noise > 0.6, F.array(F.lit("denoise"))).otherwise(F.array()),
+        F.when(sharpness < 0.3, F.array(F.lit("sharpen"))).otherwise(F.array()),
     )
-    df = df.withColumn("quality", quality).withColumn(
-        "needs_processing",
-        (F.col("quality") <= SKIP_QUALITY) & (F.size(raw_actions) > 0),
-    )
+    needs = (quality <= SKIP_QUALITY) & (F.size(raw_actions) > 0)
     # skip predicate: good spans keep an EMPTY plan (pass-through rows,
     # same shape — the chain's copy-through at :169-171)
-    return df.withColumn(
-        "actions",
-        F.when(
-            F.col("needs_processing"), fn.priority_sorted_actions(raw_actions)
-        ).otherwise(F.array().cast("array<string>")),
-    ).drop("_bi", "_ci", "_si", "_ni")
+    _ASSESS_COLS = [
+        F.col("doc_id"),
+        F.col("offset"),
+        F.col("media_ref"),
+        brightness.alias("brightness"),
+        contrast.alias("contrast"),
+        sharpness.alias("sharpness"),
+        noise.alias("noise"),
+        skew_deg.alias("skew_deg"),
+        rotation_deg.alias("rotation_deg"),
+        quality.alias("quality"),
+        needs.alias("needs_processing"),
+        F.when(needs, fn.priority_sorted_actions(raw_actions))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("actions"),
+    ]
+    return _ASSESS_COLS
+
+
+def assess_media(spans: DataFrame) -> DataFrame:
+    """media spans -> condition metrics + quality + ordered action plan.
+
+    Output: (doc_id, offset, media_ref, brightness, contrast, sharpness,
+    noise, skew_deg, rotation_deg, quality, needs_processing, actions).
+    """
+    return spans.filter(F.col("kind") == "media").select(*_assess_cols())
 
 
 def assess_media_real(spans: DataFrame, blobs: DataFrame | None = None) -> DataFrame:

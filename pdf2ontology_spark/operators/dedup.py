@@ -157,11 +157,24 @@ def minhash_signature(
     codegen. An in-row array_min/transform variant was measured 2x
     SLOWER: higher-order lambdas evaluate interpreted."""
     sh = shingles(df, id_col, text_col, w)
+    # SQL-string form of minhash_bases + minhash_mix_exprs (identical
+    # arithmetic, one parse per aggregate — the Column-API form cost
+    # ~10 py4j round-trips per slot in pure construction time; Spark's
+    # subexpression elimination still merges the two md5 references)
+    A1, A2, B = mix_consts(k)
+    base = sh.select(
+        "id",
+        F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)").alias("b1"),
+        F.expr("cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)").alias("b2"),
+    )
     aggs = [
-        F.min(e).alias(f"mh_{i}")
-        for i, e in enumerate(minhash_mix_exprs(F.col("shingle"), k))
+        F.expr(
+            f"min((({A1[i]}L * b1) % {MINHASH_P}L + ({A2[i]}L * b2) % {MINHASH_P}L "
+            f"+ {B[i]}L) % {MINHASH_P}L) AS mh_{i}"
+        )
+        for i in range(k)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return base.groupBy("id").agg(*aggs)
 
 
 def minhash_bands(

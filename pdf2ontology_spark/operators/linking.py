@@ -99,10 +99,10 @@ def banded_candidates(fuzzy_base: DataFrame, with_sizes: bool = False) -> DataFr
     # cost is immaterial here, while the recall of specific near-dup
     # name pairs is fixture-pinned (tests/test_linking.py) and the
     # banding draw of this family is the one those pins encode.
+    # SQL-string aggregates: identical md5('i:'||gram) digests, one
+    # parse per slot instead of ~6 py4j round-trips (see dedup.simhash)
     aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min(substring(md5(concat('{i}:', shingle)), 1, 16)) AS mh_{i}")
         for i in range(LSH_K)
     ]
     # |grams| for free: sh is one row per DISTINCT gram, so count(*)

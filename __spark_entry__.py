@@ -123,7 +123,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 def q_segment_spans(spark, sf_dir):
-    return _spans(spark, sf_dir)
+    # pure projection — the loader's doc_id repartition bought nothing
+    return _spans_m(spark, sf_dir)
 
 
 def q_span_invariant(spark, sf_dir):

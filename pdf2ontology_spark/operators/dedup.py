@@ -35,12 +35,9 @@ def _words(text: Column) -> Column:
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """similarity.spread_small_scan — used here by simhash, whose
-    64-sum-agg token stage gains from width (measured 4.5s -> 1.9s at
-    sf0.1). The shingle path deliberately does NOT spread: its cost was
-    expression re-evaluation (fixed by the Generate barrier in
-    ``shingles``), and shuffling the raw text costs more than the
-    single-core scan stage at small scale."""
+    """similarity.spread_small_scan — used by simhash (64-sum-agg token
+    stage, measured 4.5s -> 1.9s at sf0.1) and, since round 7, by
+    ``shingles`` (see its docstring for the re-measurement)."""
     from pdf2ontology_spark.operators import similarity
 
     return similarity.spread_small_scan(df, key)
@@ -55,7 +52,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, w: int = SHINGLE_W) -> D
     full shingle stream for nothing). CONTRACT: ``df`` must carry ONE
     row per id (a document table, not a span table) — with multiple
     rows per id the count-based Jaccard consumers (sizes/intersections)
-    would silently double-count; pre-aggregate such input first."""
+    would silently double-count; pre-aggregate such input first.
+
+    The input is hash-spread when its scan under-uses the cores
+    (round-7 re-measurement: the documents table is one split, so the
+    tokenize + shingle + per-shingle hash stage ran single-core;
+    shuffling the narrow (id, text) rows first cut minhash signatures
+    0.73 -> 0.37s at sf0.1 — the round-6 'don't spread shingles' note
+    predated the one-md5 mix rewrite that made hashing cheap relative
+    to the explode)."""
+    df = _spread(df, id_col)
     # Generate barrier (explode of a 1-element array): materialize the
     # tokenized words array ONCE per row. Without it, Project-collapse
     # re-inlines the split+filter expression into EVERY slice() of the

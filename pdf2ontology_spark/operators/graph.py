@@ -236,16 +236,14 @@ def edge_aggs(triples: DataFrame) -> DataFrame:
     distinct union, so batch-local rows upsert additively into an
     edge-aggs stage table (streaming graph materialization).
 
-    Endpoint ids come from the surface-id dimension (compute-once,
-    join-many); weight = co-occurrence count (Relation.weight semantics,
+    weight = co-occurrence count (Relation.weight semantics,
     knowledge_models.py:77-81); confidence = max over merged triples.
     """
     # PHASE 1 — aggregate on the RAW surface keys: the fact-stream
     # shuffle carries names/predicate (tens of bytes), not two 64-char
-    # sha2 hex ids (128 bytes/row); the id dimension is probed AFTER the
-    # collapse, on edge-cardinality rows instead of per triple. This was
-    # a measured 1.38-1.58x CPU-seconds inflation lever at rising thread
-    # counts — the aggregation is DRAM-bound and row width is the knob.
+    # sha2 hex ids (128 bytes/row). This was a measured 1.38-1.58x
+    # CPU-seconds inflation lever at rising thread counts — the
+    # aggregation is DRAM-bound and row width is the knob.
     by_surface = triples.groupBy(
         "subj_name", "subj_type", "predicate", "obj_name", "obj_type"
     ).agg(
@@ -256,21 +254,17 @@ def edge_aggs(triples: DataFrame) -> DataFrame:
         F.slice(F.array_sort(F.collect_set("source_sentence")), 1, 3).alias("evidence"),
         F.array_sort(F.collect_set("extraction_method")).alias("_methods"),
     )
-    dim = surface_ids(triples)
-    e = by_surface.join(
-        dim.select(
-            F.col("name").alias("subj_name"),
-            F.col("entity_type").alias("subj_type"),
-            F.col("entity_id").alias("subject_id"),
-        ),
-        ["subj_name", "subj_type"],
-    ).join(
-        dim.select(
-            F.col("name").alias("obj_name"),
-            F.col("entity_type").alias("obj_type"),
-            F.col("entity_id").alias("object_id"),
-        ),
-        ["obj_name", "obj_type"],
+    # endpoint ids computed DIRECTLY on the collapsed rows (round 7):
+    # the round-6 surface-id dimension join ran sha2 once per distinct
+    # surface, but paid a second full pass over the triples stage, a 2x
+    # mention explode, a distinct exchange and two join builds for it —
+    # measured 1.39 -> 0.87s at sf0.1. The ids are pure expressions of
+    # the group keys, and the hash now runs at edge-surface cardinality
+    # (the same row count the joins would have streamed anyway).
+    e = by_surface.withColumn(
+        "subject_id", entity_id_col(F.col("subj_name"), F.col("subj_type"))
+    ).withColumn(
+        "object_id", entity_id_col(F.col("obj_name"), F.col("obj_type"))
     )
     # PHASE 2 — re-aggregate by canonical id: distinct surfaces can
     # normalize to the SAME entity_id, so the surface-keyed groups are

@@ -70,9 +70,13 @@ How to read this (the 100 TB checklist):
   stage the north rule says to pay for.
 - **Broadcast** on every dimension-sided join (region/nation rollup,
   query-side of ANN, minhash band self-join probe side).
-- Whole-stage codegen covers the expression spine everywhere; the ONLY
-  Python stage in the engine is the media decode mapInPandas
-  (Arrow-batched), which is not in any of these plans.
+- Whole-stage codegen covers the expression spine everywhere; the
+  Python stages in the engine are all Arrow-batched mapInPandas/
+  pandas_udf kernels: the media decode family, the round-7 fused grid
+  kernel (operators/grid_fused.py — replaces 4 window shuffles of
+  interpreted array lambdas), the banded-LSH signature kernel, and the
+  connected-components union-find. No row-at-a-time BatchEvalPython
+  anywhere.
 """
     ]
     for name in AUDIT:

@@ -54,6 +54,9 @@ def test_stream_graph_three_chunks_matches_batch(spark, tmp_path):
     q = stream_graph_upsert(spark, in_dir, out_base, ckpt, available_now=True)
     q.awaitTermination(120)
     assert read_stream_nodes(spark, out_base).count() == n_nodes
+    # unpersist: a cached docs plan left registered would silently turn
+    # later plan-shape tests' parquet scans into InMemoryTableScans
+    docs.unpersist()
 
 
 def test_graph_batch_replay_is_idempotent(spark, tmp_path):
@@ -94,3 +97,5 @@ def test_graph_batch_replay_is_idempotent(spark, tmp_path):
         for r in read_stream_nodes(spark, out_base).collect()
     }
     assert tripled == {k: 3 * v for k, v in first.items()}
+    part.unpersist()
+    docs.unpersist()

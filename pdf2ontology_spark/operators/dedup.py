@@ -472,6 +472,100 @@ def embedding_candidates(
     )
 
 
+# gate for the broadcast-matrix rerank: the whole vector table must fit
+# comfortably in a broadcast (driver + every python worker hold it)
+_MATRIX_BC_MAX_BYTES = 64 << 20
+
+
+def _bare_parquet_files(df: DataFrame) -> list[str] | None:
+    """Local parquet data files IFF ``df`` is an unmodified file scan —
+    the only case where reading the files directly is guaranteed to see
+    exactly the DataFrame's rows/values. Any projection/filter/local
+    relation returns None (callers fall back to the join rerank)."""
+    import os
+
+    try:
+        cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        if cls != "LogicalRelation":
+            return None
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — any introspection failure -> fallback
+        return None
+    paths = [f.removeprefix("file://").removeprefix("file:") for f in files]
+    if not paths or not all(p.endswith(".parquet") and os.path.exists(p) for p in paths):
+        return None
+    return paths
+
+
+def _matrix_rerank(
+    emb: DataFrame,
+    cand: DataFrame,
+    paths: list[str],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame | None:
+    """Exact-cosine rerank as a broadcast matrix + Arrow kernel (guide
+    §8 'broadcast the plan'): ship only (id_a, id_b) pairs through the
+    kernel and gather the vectors from one broadcast copy of the table,
+    instead of attaching both vectors to every candidate row through
+    two joins and folding the dot interpreted per pair (measured
+    1.76 -> 1.17s at sf0.1's 718k candidates; pandas-UDF-with-joined-
+    vectors was a wash because the Arrow transfer of the pair-expanded
+    vectors offset the vectorized dot).
+
+    BIT-IDENTICAL to the join form: float32 -> float64 casts are exact;
+    the dot and the norms accumulate with the same strict left-to-right
+    fold (numpy elementwise ops are IEEE, no FMA/pairwise reordering);
+    division order matches (dot / (na * nb)); the final round +
+    threshold stay in the JVM so Spark's HALF_UP rounding is literally
+    the same code. Returns None when the table shape is off (caller
+    falls back)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=[id_col, vec_col]) for p in sorted(paths)]
+    )
+    n = t.num_rows
+    arr = t.column(vec_col).combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.shape[0] != n * dim:
+        return None  # ragged vectors: let the join path raise its guard
+    V = flat.astype(np.float64, copy=False).reshape(n, dim)
+    ids = t.column(id_col).to_pylist()
+    idx = {i: j for j, i in enumerate(ids)}
+    norm_acc = np.zeros(n)
+    for i in range(dim):  # strict fold order — see docstring
+        norm_acc += V[:, i] * V[:, i]
+    norms = np.sqrt(norm_acc)
+    bc = emb.sparkSession.sparkContext.broadcast((idx, V, norms))
+
+    def rerank(batches):
+        idx, V, norms = bc.value
+        for pdf in batches:
+            out = pdf[["id_a", "id_b"]].copy()
+            if len(pdf) == 0:
+                out["cos_raw"] = []
+                yield out
+                continue
+            ia = np.array([idx[x] for x in pdf["id_a"]])
+            ib = np.array([idx[x] for x in pdf["id_b"]])
+            A = V[ia]
+            B = V[ib]
+            acc = np.zeros(len(A))
+            for i in range(A.shape[1]):  # strict fold order
+                acc += A[:, i] * B[:, i]
+            out["cos_raw"] = acc / (norms[ia] * norms[ib])
+            yield out
+
+    id_t = dict(cand.dtypes)["id_a"]
+    return cand.mapInPandas(
+        rerank, f"id_a {id_t}, id_b {id_t}, cos_raw double"
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -504,6 +598,19 @@ def embedding_cosine_pairs(
     ``embedding_cosine_pairs_brute``.
     """
     cand = embedding_candidates(emb, id_col, vec_col, planes_per_band, bands, n=n, dim=dim)
+    # broadcast-matrix rerank when the table is a bare parquet scan that
+    # fits a broadcast; the join + interpreted-fold rerank is the
+    # general path (arbitrary plans, tables too big to broadcast)
+    if n is not None and dim is not None and n * dim * 8 <= _MATRIX_BC_MAX_BYTES:
+        paths = _bare_parquet_files(emb)
+        if paths is not None:
+            scored = _matrix_rerank(emb, cand, paths, id_col, vec_col, dim)
+            if scored is not None:
+                return (
+                    scored.withColumn("cosine", F.round(F.col("cos_raw"), 4))
+                    .filter(F.col("cosine") >= threshold)
+                    .select("id_a", "id_b", "cosine")
+                )
     v = _vec_dim(emb, id_col, vec_col)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))

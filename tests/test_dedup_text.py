@@ -149,3 +149,24 @@ def test_ivf_topk_structure_and_recall(spark):
     for rs in by_q.values():
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert rs == sorted(rs, key=lambda r: (-r.cosine, r.corpus_id))
+
+
+def test_embedding_matrix_rerank_equals_join_rerank(spark):
+    """Round-7: the broadcast-matrix rerank (bare parquet scan) must be
+    bit-identical to the join + interpreted-fold rerank (exercised here
+    by wrapping the same table in a select, which defeats the bare-scan
+    guard)."""
+    from pdf2ontology_spark.operators import dedup
+    from pdf2ontology_spark.sources import tables
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load_table(spark, sf, "embeddings")
+    n = tables.table_rows(sf, "embeddings")
+    dim = tables.embedding_dim(sf)
+    assert dedup._bare_parquet_files(emb) is not None
+    wrapped = emb.select("vec_id", "embedding")
+    assert dedup._bare_parquet_files(wrapped) is None
+    fast = dedup.embedding_cosine_pairs(emb, threshold=0.45, n=n, dim=dim)
+    slow = dedup.embedding_cosine_pairs(wrapped, threshold=0.45, n=n, dim=dim)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0

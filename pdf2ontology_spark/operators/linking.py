@@ -198,9 +198,12 @@ def canonicalize(triples: DataFrame) -> dict[str, DataFrame]:
     surface_id of its exact group.
     """
     surf = exact_contract(surfaces(triples)).cache()
-    reps = surf.select(
-        F.col("rep_id").alias("surface_id"), "entity_type", "key"
-    ).distinct()
+    # one aggregation instead of projecting the window result and
+    # re-shuffling it through a distinct (round 7): min surface_id per
+    # exact (key, entity_type) group IS the group's rep_id
+    reps = surf.groupBy("key", "entity_type").agg(
+        F.min("surface_id").alias("surface_id")
+    ).select("surface_id", "entity_type", "key")
     pairs = candidate_pairs(reps)
     comp = components.connected_components(pairs, "id_a", "id_b")
     mapping = (

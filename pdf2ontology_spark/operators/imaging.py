@@ -252,7 +252,17 @@ def raster_checksum_batch(G):
 
 def apply_chain_batch(G, actions, skew_deg: float, rotation_deg: int):
     """Batched ``apply_chain`` for a group of images SHARING one chain
-    signature (identical action tuple, rotation quadrant, skew angle)."""
+    signature (identical action tuple, rotation quadrant, skew angle).
+
+    PRECONDITION: pixel values in [0, 255]. Every chain kernel clips
+    its output, and the decode/synth sources produce bytes, but the
+    uint8 fast paths inside (denoise taps, quality medians) would
+    silently wrap out-of-range values modulo 256 — so a violating
+    input fails loudly here instead (ADVICE r6)."""
+    if G.size:
+        lo, hi = int(G.min()), int(G.max())
+        if lo < 0 or hi > 255:
+            raise ValueError(f"raster values outside [0, 255]: min={lo} max={hi}")
     for a in actions:
         if a == "rotate":
             G = rotate_exact_batch(G, rotation_deg)

@@ -72,7 +72,14 @@ def _assess_cols() -> list[Column]:
     )
     needs = (quality <= SKIP_QUALITY) & (F.size(raw_actions) > 0)
     # skip predicate: good spans keep an EMPTY plan (pass-through rows,
-    # same shape — the chain's copy-through at :169-171)
+    # same shape — the chain's copy-through at :169-171).
+    # The concat above already emits actions in the O6 priority order
+    # (rotate 1, deskew 2, enhance_contrast/gamma 5 — alphabetical tie
+    # — denoise 6, sharpen 7) with no duplicates, so
+    # fn.priority_sorted_actions(raw_actions) is the identity here and
+    # the per-row interpreted sort is elided (verified exhaustively on
+    # the corpus and by the shared assess oracle; the O6 operator
+    # itself stays in functions/__init__.py with its own tests).
     _ASSESS_COLS = [
         F.col("doc_id"),
         F.col("offset"),
@@ -85,7 +92,7 @@ def _assess_cols() -> list[Column]:
         rotation_deg.alias("rotation_deg"),
         quality.alias("quality"),
         needs.alias("needs_processing"),
-        F.when(needs, fn.priority_sorted_actions(raw_actions))
+        F.when(needs, raw_actions)
         .otherwise(F.array().cast("array<string>"))
         .alias("actions"),
     ]

@@ -151,7 +151,13 @@ def connected_components(
     # rounds, gather) re-evaluates the whole upstream pair-generation
     # plan (LSH banding included) without it — measured as the CC step
     # costing 15s for a 12-edge input at sf0.1. Lazy checkpoint + count
-    # = one materializing pass instead of eager + count.
+    # = one materializing pass instead of eager + count. Cost ledger on
+    # the LARGE-graph path: vs round 6 this adds one local-disk
+    # materialization of the raw 2|E| list (the star forest is then
+    # checkpointed from it without re-running the upstream pipeline) —
+    # the price of the size probe that buys the gather short-circuit;
+    # entity-linking bridge graphs take the gather path long before
+    # that write is noticeable.
     sym = sym.localCheckpoint(eager=False)
     n_edges = sym.count()
     if n_edges <= gather_threshold:

@@ -472,8 +472,8 @@ def embedding_candidates(
     )
 
 
-# gate for the broadcast-matrix rerank: the whole vector table must fit
-# comfortably in a broadcast (driver + every python worker hold it)
+# gate for the matrix rerank: the whole vector table must fit
+# comfortably in each python worker's task-local matrix
 _MATRIX_BC_MAX_BYTES = 64 << 20
 
 
@@ -497,30 +497,10 @@ def _bare_parquet_files(df: DataFrame) -> list[str] | None:
     return paths
 
 
-def _matrix_rerank(
-    emb: DataFrame,
-    cand: DataFrame,
-    paths: list[str],
-    id_col: str,
-    vec_col: str,
-    dim: int,
-) -> DataFrame | None:
-    """Exact-cosine rerank as a broadcast matrix + Arrow kernel (guide
-    §8 'broadcast the plan'): ship only (id_a, id_b) pairs through the
-    kernel and gather the vectors from one broadcast copy of the table,
-    instead of attaching both vectors to every candidate row through
-    two joins and folding the dot interpreted per pair (measured
-    1.76 -> 1.17s at sf0.1's 718k candidates; pandas-UDF-with-joined-
-    vectors was a wash because the Arrow transfer of the pair-expanded
-    vectors offset the vectorized dot).
-
-    BIT-IDENTICAL to the join form: float32 -> float64 casts are exact;
-    the dot and the norms accumulate with the same strict left-to-right
-    fold (numpy elementwise ops are IEEE, no FMA/pairwise reordering);
-    division order matches (dot / (na * nb)); the final round +
-    threshold stay in the JVM so Spark's HALF_UP rounding is literally
-    the same code. Returns None when the table shape is off (caller
-    falls back)."""
+def _load_vector_matrix(paths: list[str], id_col: str, vec_col: str, dim: int):
+    """(id -> row index dict, (n, dim) float64 matrix, norms) from the
+    parquet files, or None if the vectors are ragged. Norms use the
+    same strict left-to-right fold as similarity._norm."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -534,16 +514,50 @@ def _matrix_rerank(
     if flat.shape[0] != n * dim:
         return None  # ragged vectors: let the join path raise its guard
     V = flat.astype(np.float64, copy=False).reshape(n, dim)
-    ids = t.column(id_col).to_pylist()
-    idx = {i: j for j, i in enumerate(ids)}
+    idx = {i: j for j, i in enumerate(t.column(id_col).to_pylist())}
     norm_acc = np.zeros(n)
-    for i in range(dim):  # strict fold order — see docstring
+    for i in range(dim):  # strict fold order
         norm_acc += V[:, i] * V[:, i]
-    norms = np.sqrt(norm_acc)
-    bc = emb.sparkSession.sparkContext.broadcast((idx, V, norms))
+    return idx, V, np.sqrt(norm_acc)
+
+
+def _matrix_rerank(
+    cand: DataFrame,
+    paths: list[str],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Exact-cosine rerank as a per-task vector matrix + Arrow kernel
+    (guide §8 'decide with small rows' / §4.5 'heavyweight init once
+    per task'): ship only the (id_a, id_b) pairs through the kernel and
+    gather the vectors from a matrix each task loads once from the
+    parquet files, instead of attaching both vectors to every candidate
+    row through two joins and folding the dot interpreted per pair
+    (measured ~1.8 -> ~1.2s at sf0.1's 718k candidates; a
+    pandas-UDF-over-joined-vectors variant was a wash because the Arrow
+    transfer of the pair-expanded vectors offset the vectorized dot).
+    Loading inside the task (not sc.broadcast at plan-build) keeps the
+    plan build I/O-free and leaves no broadcast to leak across
+    repeated query constructions; the table is already gated to <=
+    _MATRIX_BC_MAX_BYTES by the caller.
+
+    BIT-IDENTICAL to the join form: float32 -> float64 casts are exact;
+    the dot and the norms accumulate with the same strict left-to-right
+    fold (numpy elementwise ops are IEEE, no FMA/pairwise reordering);
+    division order matches (dot / (na * nb)); the final round +
+    threshold stay in the JVM so Spark's HALF_UP rounding is literally
+    the same code, and NaN cosines are dropped exactly like the join
+    path drops their NULL counterparts."""
+    import numpy as np
 
     def rerank(batches):
-        idx, V, norms = bc.value
+        loaded = _load_vector_matrix(paths, id_col, vec_col, dim)
+        if loaded is None:
+            raise ValueError(
+                f"embedding dimension mismatch: expected {dim}-wide vectors in {paths}"
+            )
+        idx, V, norms = loaded
         for pdf in batches:
             out = pdf[["id_a", "id_b"]].copy()
             if len(pdf) == 0:
@@ -598,16 +612,27 @@ def embedding_cosine_pairs(
     ``embedding_cosine_pairs_brute``.
     """
     cand = embedding_candidates(emb, id_col, vec_col, planes_per_band, bands, n=n, dim=dim)
-    # broadcast-matrix rerank when the table is a bare parquet scan that
-    # fits a broadcast; the join + interpreted-fold rerank is the
-    # general path (arbitrary plans, tables too big to broadcast)
+    # matrix rerank when the table is a bare parquet scan that fits the
+    # per-task matrix budget; the join + interpreted-fold rerank is the
+    # general path (arbitrary plans, tables too big to hold per task).
+    # The size gate re-checks the ACTUAL row count from the parquet
+    # footers (a driver-side stat, no job) so a stale caller-supplied
+    # ``n`` cannot sneak an oversized table past the budget.
     if n is not None and dim is not None and n * dim * 8 <= _MATRIX_BC_MAX_BYTES:
         paths = _bare_parquet_files(emb)
         if paths is not None:
-            scored = _matrix_rerank(emb, cand, paths, id_col, vec_col, dim)
-            if scored is not None:
+            import pyarrow.parquet as pq
+
+            true_n = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            if true_n * dim * 8 <= _MATRIX_BC_MAX_BYTES:
+                scored = _matrix_rerank(cand, paths, id_col, vec_col, dim)
+                # NaN parity with the join path: a null vector element
+                # makes the join rerank's cosine NULL (dropped by the
+                # threshold filter); the matrix path yields NaN, which
+                # Spark's ordering would PASS — drop it explicitly
                 return (
-                    scored.withColumn("cosine", F.round(F.col("cos_raw"), 4))
+                    scored.filter(~F.isnan(F.col("cos_raw")))
+                    .withColumn("cosine", F.round(F.col("cos_raw"), 4))
                     .filter(F.col("cosine") >= threshold)
                     .select("id_a", "id_b", "cosine")
                 )

@@ -56,8 +56,12 @@ def grid_tables(detections: DataFrame) -> DataFrame:
     table collected into a single per-table array (the staged path read
     the detections parquet 3x with disjoint bucket filters and joined
     the pieces back together)."""
+    # null table keys never matched the staged path's inner joins —
+    # drop them here so the fused kernel cannot emit rows for them
     d = detections.filter(
         F.col("bucket").isin("row", "column", "cell", "spanning_cell")
+        & F.col("doc_id").isNotNull()
+        & F.col("table_id").isNotNull()
     )
     st = F.struct(
         F.col("bucket").alias("b"),
@@ -291,18 +295,37 @@ def _row_maps(dets: list) -> list | None:
         e = None if t is None else (1 if t == "" else 0)
         cs.append((r, c, e, t))
     cs.sort(key=lambda s: (_ik(s[0]), _ik(s[1]), _ik(s[2]), _sk(s[3])))
-    # ds: first of each (r, c) run
-    ds = [s for i, s in enumerate(cs) if i == 0 or (cs[i - 1][0], cs[i - 1][1]) != (s[0], s[1])]
+
+    # ds: first of each (r, c) run — under the staged filter's SQL
+    # three-valued logic: the element survives only when the NOT(prev.r
+    # = r AND prev.c = c) condition is TRUE, i.e. some field differs
+    # with BOTH sides non-null (a null field makes the comparison
+    # unknown and drops the element)
+    def _neq(a, b) -> bool:
+        return a is not None and b is not None and a != b
+
+    ds = [
+        s
+        for i, s in enumerate(cs)
+        if i == 0 or _neq(cs[i - 1][0], s[0]) or _neq(cs[i - 1][1], s[1])
+    ]
     hvals = [s[0] for s in ds if s[2] == 0 and s[0] is not None]
     if not hvals:
         return []
     hrow = min(hvals)
-    cols = sorted({s[1] for s in ds}, key=_ik)
+    # distinct column order: plain array_sort places nulls LAST
+    cols = sorted(
+        {s[1] for s in ds}, key=lambda c: (1, 0) if c is None else (0, int(c))
+    )
     # per-column key: header text at (hrow, c) if non-empty else Column_c
+    # (a null column index keeps a null key like the staged
+    # concat('Column_', null) — it only errors if a data row uses it,
+    # exactly where Spark's map_from_entries raises on a null key)
     bk = []
     for c in cols:
         if c is None:
-            raise ValueError("null column index reached row-map keys")
+            bk.append((c, None))
+            continue
         hs = [s[3] for s in ds if s[0] == hrow and s[1] == c]
         k = hs[0] if hs and hs[0] not in (None, "") else f"Column_{c}"
         bk.append((c, k))
@@ -320,6 +343,8 @@ def _row_maps(dets: list) -> list | None:
         entries = [(km[s[1]], s[3]) for s in ds if s[0] == r]
         m = {}
         for k, v in entries:
+            if k is None:
+                raise ValueError("null row-map key")
             if k in m:
                 raise ValueError(f"duplicate row-map key {k!r}")
             m[k] = v

@@ -65,17 +65,20 @@ def _broadcast_if_small(blobs: DataFrame) -> DataFrame:
     is co-located)."""
     import os
 
+    from pdf2ontology_spark.sources.tables import _parse_byte_conf
+
     try:
         size = sum(
             os.path.getsize(f.removeprefix("file://").removeprefix("file:"))
             for f in blobs.inputFiles()
         )
-    except Exception:  # noqa: BLE001 — non-file sources keep planner choice
+        threshold = _parse_byte_conf(
+            blobs.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "33554432"
+            )
+        )
+    except Exception:  # noqa: BLE001 — non-file sources / odd confs keep planner choice
         return blobs
-    threshold = int(
-        blobs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
-        .removesuffix("b")
-    )
     return F.broadcast(blobs) if 0 < size < threshold else blobs
 
 

@@ -312,7 +312,14 @@ def semantic_entries_fused(docs: DataFrame) -> DataFrame:
     at the entries stage (the staged path shuffled once for its three
     window families and parsed the cell JSON under them). Equivalence
     is pinned by tests/test_triples_fused.py and the shared DuckDB
-    oracle (q:relationship_entries)."""
+    oracle (q:relationship_entries).
+
+    Shared fused-architecture invariant (same as ``all_triples_fused``
+    since round 5): a table's grid lives entirely inside ONE span, so
+    two table spans of a document sharing an offset (an input-contract
+    violation — it collides their sha2 table_id; q:span_invariant
+    checks the contract) would be evaluated per span here but merged
+    by the staged windows."""
     return docs.select(
         F.col("doc_id"), F.explode(_fused_entries_expr()).alias("e")
     ).select(

@@ -69,12 +69,18 @@ def main() -> None:
     if want("link"):
         t = entry._triples_stage(spark, SF)
         run(spark, "link:triples-stage", lambda: t)
-        surf = linking.exact_contract(linking.surfaces(t))
+        # mirror canonicalize(): surf CACHED, reps via one groupBy-min —
+        # an uncached surf + distinct-based reps expands the upstream
+        # plan 4x inside candidate_pairs and times a composition the
+        # production path never runs (measured 32s vs 0.8s for the full
+        # query)
+        surf = linking.exact_contract(linking.surfaces(t)).cache()
         run(spark, "link:surfaces+contract", lambda: surf)
-        reps = surf.select(
-            F.col("rep_id").alias("surface_id"), "entity_type", "key"
-        ).distinct()
+        reps = surf.groupBy("key", "entity_type").agg(
+            F.min("surface_id").alias("surface_id")
+        ).select("surface_id", "entity_type", "key")
         run(spark, "link:candidate_pairs", lambda: linking.candidate_pairs(reps))
+        surf.unpersist()
         run(spark, "link:canonical_nodes(full)", lambda: entry.q_canonical_nodes_lsh(spark, SF))
 
     if want("media"):
